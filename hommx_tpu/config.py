@@ -1,0 +1,40 @@
+"""Global numerical configuration for hommx_tpu.
+
+Precision policy
+----------------
+HMM parity gates (reference ``test_integration_poisson.py:233-240``: solution
+identity < 1e-12, stiffness-matrix Frobenius diff < 1e-8) require float64
+arithmetic.  On CPU we therefore enable JAX x64 and default every solver to
+float64.  TPUs have no native float64; the benchmark/serving path runs the
+micro engine in float32 (the Gram-matrix formulation is numerically benign:
+SPD systems, Cholesky, condition numbers ~ coefficient contrast × O(N_micro)).
+
+``default_dtype()`` picks float64 when x64 is enabled (tests / CPU) and
+float32 otherwise (TPU serving).  Every public solver takes an explicit
+``dtype`` override.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Enable x64 by default (scientific code; the parity gates need f64).  The
+# TPU backend executes f64 by emulation — correct but slow — so the benchmark
+# / serving path passes dtype=float32 explicitly instead of flipping this.
+if os.environ.get("HOMMX_TPU_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def default_dtype() -> jnp.dtype:
+    return jnp.float64 if x64_enabled() else jnp.float32
+
+
+def index_dtype() -> jnp.dtype:
+    return jnp.int32

@@ -1,0 +1,88 @@
+"""Shared machinery for the solver classes: coefficient probing, strain
+coefficient matrices, BC merging, and the macro solve pipeline."""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.ops.elements import cell_geometry
+from hommx_tpu.ops.function_space import DirichletBC, FunctionSpace
+from hommx_tpu.ops.sparse import build_ell_pattern
+
+__all__ = [
+    "probe_coeff_kind",
+    "strain_coefficients",
+    "merge_bcs",
+    "MacroSystem",
+]
+
+
+def probe_coeff_kind(coeff: Callable, dim: int, nargs: int = 2) -> str:
+    """Classify A(x, y) (or A(y)) output: 'scalar' | 'matrix' | 'tensor4'."""
+    x = jnp.zeros((dim,))
+    args = (x, x)[:nargs]
+    shape = jnp.shape(jnp.asarray(coeff(*args)))
+    if shape == ():
+        return "scalar"
+    if shape == (dim, dim):
+        return "matrix"
+    if shape == (dim, dim, dim, dim):
+        return "tensor4"
+    raise ValueError(f"unsupported coefficient shape {shape} for dim={dim}")
+
+
+def strain_coefficients(grads: jnp.ndarray, d: int) -> jnp.ndarray:
+    """P[c, m, (kl)] = e(v_m)_{kl} for the vector basis m = vertex*d + comp.
+
+    grads: (nc, d+1, d) P1 gradients.  e(v_{a,i})_{kl} =
+    ½(δ_ik ∂λ_a/∂x_l + δ_il ∂λ_a/∂x_k).
+    """
+    nc, nb0, _ = grads.shape
+    eye = jnp.eye(d, dtype=grads.dtype)
+    # E[c, a, i, k, l]
+    E = 0.5 * (
+        jnp.einsum("ik,cal->caikl", eye, grads)
+        + jnp.einsum("il,cak->caikl", eye, grads)
+    )
+    return E.reshape(nc, nb0 * d, d * d)
+
+
+def merge_bcs(
+    bcs: Sequence[DirichletBC], num_dofs: int, dtype
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Combine DirichletBCs into a (mask, values) pair over all dofs.
+
+    Later BCs win on overlapping dofs (matches the reference's sequential
+    per-bc application, ``hmm.py:453-480``).
+    """
+    mask = np.zeros(num_dofs, dtype=bool)
+    vals = np.zeros(num_dofs, dtype=np.float64)
+    for bc in bcs:
+        mask[bc.dofs] = True
+        vals[bc.dofs] = bc.values
+    return jnp.asarray(mask), jnp.asarray(vals, dtype=dtype)
+
+
+class MacroSystem:
+    """Static assembly data for the macro FEM system on a function space."""
+
+    def __init__(self, V: FunctionSpace, dtype):
+        self.V = V
+        self.dtype = dtype
+        self.cell_dofs = V.cell_dofs_unrolled()
+        self.pattern = build_ell_pattern(self.cell_dofs, V.num_dofs)
+        self.slots = jnp.asarray(self.pattern.slots)
+        self.cols = jnp.asarray(self.pattern.cols)
+        self.diag_slots = jnp.asarray(self.pattern.diag_slots)
+        self.verts = jnp.asarray(V.mesh.vertices, dtype=dtype)
+        self.cells = jnp.asarray(V.mesh.cells)
+        grads, vols = cell_geometry(self.verts, self.cells)
+        self.grads = grads  # (nc, d+1, d)
+        self.vols = vols  # (nc,)
+        self.centers = jnp.mean(self.verts[self.cells], axis=1)  # (nc, d) c_T
+        if V.bs > 1:
+            self.strain_P = strain_coefficients(grads, V.bs)  # (nc, nb, d²)

@@ -1,0 +1,183 @@
+"""Single-scale P1 FEM solvers (fine-mesh references & the macro stage).
+
+Replaces the reference's DOLFINx ``LinearProblem`` usage: the convenience
+``PoissonFEM`` class (reference ``helpers.py:212-302``) and the fine-mesh
+reference solves its tests build inline (``test_integration_poisson.py:
+253-285``).  Coefficients are plain JAX callables ``A(x) -> scalar | (d,d) |
+(d,d,d,d)``; assembly evaluates them at element quadrature points.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.config import default_dtype
+from hommx_tpu.models.common import MacroSystem, merge_bcs, probe_coeff_kind
+from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_vector
+from hommx_tpu.ops.elements import quad_points_physical
+from hommx_tpu.ops.function_space import (
+    DirichletBC,
+    Function,
+    FunctionSpace,
+    boundary_dofs,
+    dirichletbc,
+)
+from hommx_tpu.ops.solvers import solve_ell
+from hommx_tpu.utils.options import SolverOptions
+
+__all__ = ["fem_assemble_values", "fem_solve", "PoissonFEM", "LinearElasticityFEM"]
+
+
+def _local_matrices(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
+    """Per-cell stiffness blocks for a pointwise coefficient A(x)."""
+    V = sys.V
+    d = V.mesh.dim
+    xq, wq, _ = quad_points_physical(sys.verts, sys.cells, degree)  # (nc,nq,..)
+
+    def coeff_mat(x):
+        val = jnp.asarray(coeff(x), dtype=sys.dtype)
+        if kind == "scalar":
+            return val * jnp.eye(d, dtype=sys.dtype)
+        if kind == "matrix":
+            return val
+        return val.reshape(d * d, d * d)
+
+    Aq = jax.vmap(jax.vmap(coeff_mat))(xq)  # (nc, nq, r, r)
+    if V.bs == 1:
+        # S[a,b] = Σ_q w_q ∇λ_aᵀ A(x_q) ∇λ_b   (rows = test)
+        return jnp.einsum("cq,cad,cqde,cbe->cab", wq, sys.grads, Aq, sys.grads)
+    # elasticity: S[m,n] = Σ_q w_q P_m (ij) Ā[(ij),(kl)] P_n (kl)
+    return jnp.einsum("cq,cmr,cqrt,cnt->cmn", wq, sys.strain_P, Aq, sys.strain_P)
+
+
+def fem_assemble_values(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
+    S_loc = _local_matrices(sys, coeff, kind, degree)
+    return assemble_ell(sys.pattern, S_loc, sys.slots)
+
+
+def fem_solve(
+    V: FunctionSpace,
+    coeff: Callable,
+    f: Union[Callable, Sequence[float], float],
+    bcs: Sequence[DirichletBC],
+    options: Optional[SolverOptions] = None,
+    quad_degree: int = 2,
+    rhs_degree: int = 2,
+    dtype=None,
+) -> Function:
+    """Solve ∫ A ∇u·∇v = ∫ f v (or the elasticity analogue) with Dirichlet BCs."""
+    dtype = dtype or default_dtype()
+    options = SolverOptions.from_any(options)
+    kind = probe_coeff_kind(coeff, V.mesh.dim, nargs=1)
+    sys = MacroSystem(V, dtype)
+    vals = fem_assemble_values(sys, coeff, kind, quad_degree)
+    f_fn = _as_source(f, V.bs)
+    b = assemble_load_vector(sys.verts, sys.cells, f_fn, bs=V.bs, degree=rhs_degree)
+    mask, bvals = merge_bcs(bcs, V.num_dofs, dtype)
+    vals_bc, b_bc = apply_dirichlet(vals, sys.cols, sys.diag_slots, b, mask, bvals)
+    x, iters, res = solve_ell(vals_bc, sys.cols, b_bc, options)
+    fn = Function(V, x)
+    fn.solver_iterations = int(iters)
+    fn.solver_residual = float(res)
+    return fn
+
+
+def _as_source(f, bs: int) -> Callable:
+    """Normalize the rhs: callable | constant scalar | constant vector."""
+    if callable(f):
+        return f
+    arr = jnp.asarray(f, dtype=default_dtype())
+    if bs == 1:
+        return lambda x: arr
+    return lambda x: jnp.broadcast_to(arr, (bs,))
+
+
+class PoissonFEM:
+    """Fine-mesh Poisson solver with automatic zero BC on the box boundary
+    (mirrors reference ``helpers.py:212-302``)."""
+
+    def __init__(
+        self,
+        msh,
+        A: Callable,
+        f,
+        options: Optional[SolverOptions] = None,
+        quad_degree: int = 2,
+    ):
+        self._V = FunctionSpace(msh, 1)
+        self._coeff = A
+        self._f = f
+        self._options = SolverOptions.from_any(options)
+        self._quad_degree = quad_degree
+        self._bcs = [dirichletbc(0.0, boundary_dofs(self._V), self._V)]
+        self._u: Optional[Function] = None
+
+    @property
+    def function_space(self) -> FunctionSpace:
+        return self._V
+
+    def set_boundary_conditions(self, bcs):
+        self._bcs = bcs if isinstance(bcs, list) else [bcs]
+
+    def solve(self) -> Function:
+        self._u = fem_solve(
+            self._V,
+            self._coeff,
+            self._f,
+            self._bcs,
+            self._options,
+            quad_degree=self._quad_degree,
+        )
+        return self._u
+
+    def plot_solution(self, u: Optional[Function] = None, **kw):
+        from hommx_tpu.utils.plotting import plot_fem_function
+
+        return plot_fem_function(self._V, u or self._u, **kw)
+
+
+class LinearElasticityFEM:
+    """Fine-mesh linear-elasticity solver (A(x) is a (d,d,d,d) Hooke tensor).
+
+    The reference builds these solves inline in its elasticity tests
+    (``test_integration_linear_elasticity.py:106-122``); here it is a class.
+    No default boundary conditions (like ``LinearElasticityHMM``).
+    """
+
+    def __init__(
+        self,
+        msh,
+        A: Callable,
+        f,
+        options: Optional[SolverOptions] = None,
+        quad_degree: int = 2,
+    ):
+        self._V = FunctionSpace(msh, msh.dim)
+        self._coeff = A
+        self._f = f
+        self._options = SolverOptions.from_any(options)
+        self._quad_degree = quad_degree
+        self._bcs: list = []
+        self._u: Optional[Function] = None
+
+    @property
+    def function_space(self) -> FunctionSpace:
+        return self._V
+
+    def set_boundary_conditions(self, bcs):
+        self._bcs = bcs if isinstance(bcs, list) else [bcs]
+
+    def solve(self) -> Function:
+        self._u = fem_solve(
+            self._V,
+            self._coeff,
+            self._f,
+            self._bcs,
+            self._options,
+            quad_degree=self._quad_degree,
+        )
+        return self._u

@@ -1,0 +1,315 @@
+"""HMM solver classes — the public API of hommx_tpu.
+
+Mirrors the class surface of the reference (``src/hommx/hmm.py``):
+``PoissonHMM``, ``PoissonStratifiedHMM``, ``LinearElasticityHMM``,
+``LinearElasticityStratifiedHMM`` with ``solve()``,
+``set_boundary_conditions()``, ``set_right_hand_side()`` and the
+``function_space`` property.
+
+Control flow is inverted relative to the reference (SURVEY.md §7): instead of
+a Python loop that re-assembles and KSP-solves one cell problem per macro
+basis function (reference ``hmm.py:310-432``), ``solve()`` runs
+
+    micro stage:  A*(c_T) for every macro cell — one batched jitted pipeline
+                  (see micro/engine.py for the math and the reference mapping)
+    macro stage:  S_loc[c] = |T_c| · P_c A*(c_T)ᵀ P_cᵀ, ELL scatter assembly,
+                  symmetric Dirichlet lifting, CG / dense-Cholesky solve.
+
+The ``eps`` argument is kept for API parity; it cancels exactly in the
+reference's scaling chain (1/eps² stiffness scaling × eps² from interpolating
+the macro basis onto the eps-scaled micro cell, reference ``hmm.py:366-369``
+with ``hmm.py:388-393``), so it does not enter the computation here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.config import default_dtype
+from hommx_tpu.micro.engine import MicroEngine
+from hommx_tpu.models.common import MacroSystem, merge_bcs, probe_coeff_kind
+from hommx_tpu.models.fem import _as_source
+from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_vector
+from hommx_tpu.ops.function_space import (
+    DirichletBC,
+    Function,
+    FunctionSpace,
+    boundary_dofs,
+    dirichletbc,
+    locate_dofs_geometrical,
+)
+from hommx_tpu.ops.solvers import solve_ell
+from hommx_tpu.ops.sparse import ell_to_dense
+from hommx_tpu.utils.options import SolverOptions
+
+__all__ = [
+    "BaseHMM",
+    "PoissonHMM",
+    "PoissonStratifiedHMM",
+    "LinearElasticityHMM",
+    "LinearElasticityStratifiedHMM",
+]
+
+
+class BaseHMM:
+    """Common HMM machinery (mirrors reference ``BaseHMM``, hmm.py:53-511).
+
+    Subclasses set ``_bs`` (1 for scalar, dim for elasticity) and may supply a
+    gradient map ``_G_fn`` (stratified variants).
+    """
+
+    _bs: int = 1
+
+    def __init__(
+        self,
+        msh,
+        A: Callable,
+        f,
+        msh_micro,
+        eps: float,
+        options_global_solve: Union[SolverOptions, dict, None] = None,
+        options_cell_problem: Union[SolverOptions, dict, None] = None,
+        *,
+        quad_degree_micro: int = 2,
+        quad_degree_rhs: int = 2,
+        dtype=None,
+        chunk: int = 0,
+        # reference-compat aliases
+        petsc_options_global_solve: Optional[dict] = None,
+        petsc_options_cell_problem: Optional[dict] = None,
+        petsc_options_prefix: str = "",
+    ):
+        """Args mirror the reference ctor (``hmm.py:63-171``).
+
+        Args:
+            msh: macro SimplexMesh.
+            A: coefficient, JAX callable ``A(x, y)`` with x the macro cell
+                center c_T and y the micro coordinate; 1-periodic in y.
+                Returns scalar/(d,d) (Poisson) or (d,d,d,d) (elasticity).
+            f: right-hand side — JAX callable ``f(x)`` or a constant.
+            msh_micro: the unit-cell micro mesh (replicated data; the
+                reference's COMM_SELF requirement is moot without MPI).
+            eps: microscopic scale parameter (API parity; cancels, see module
+                docstring).
+            options_global_solve / options_cell_problem: SolverOptions or
+                PETSc-style dicts.
+        """
+        if msh.dim not in (2, 3):
+            raise ValueError("Topology should be 3D or 2D")
+        if msh.dim != msh_micro.dim:
+            raise ValueError("Micro and macro mesh should have the same dimensionality.")
+        self._msh = msh
+        self._cell_mesh = msh_micro
+        self._coeff = A
+        self._eps = float(eps)
+        self._dtype = dtype or default_dtype()
+        self._tdim = msh.dim
+        options_global_solve = options_global_solve or petsc_options_global_solve
+        options_cell_problem = options_cell_problem or petsc_options_cell_problem
+        self._options_global = SolverOptions.from_any(options_global_solve)
+        self._options_cell = SolverOptions.from_any(options_cell_problem)
+        self._chunk = chunk
+        self._quad_degree_rhs = quad_degree_rhs
+
+        bs = self._block_size()
+        self._V_macro = FunctionSpace(msh, bs)
+        self._sys = MacroSystem(self._V_macro, self._dtype)
+        kind = self._coeff_kind()
+        self._engine = MicroEngine(
+            msh_micro,
+            bs=bs,
+            coeff_kind=kind,
+            quad_degree=quad_degree_micro,
+            dtype=self._dtype,
+        )
+        self._f_fn = _as_source(f, bs)
+        self._bcs: list[DirichletBC] = []
+        self._A_star: Optional[jnp.ndarray] = None
+        self._last_vals_bc = None
+        self._needs_reassembly = True
+        self._u: Optional[Function] = None
+
+    # -- subclass hooks ------------------------------------------------------
+    def _block_size(self) -> int:
+        return self._bs if self._bs != 0 else 1
+
+    def _coeff_kind(self) -> str:
+        return probe_coeff_kind(self._coeff, self._tdim, nargs=2)
+
+    def _G_fn(self) -> Optional[Callable]:
+        """Gradient map Dθᵀ(x) for stratified variants; None otherwise."""
+        return None
+
+    # -- reference API -------------------------------------------------------
+    @property
+    def function_space(self) -> FunctionSpace:
+        return self._V_macro
+
+    def set_boundary_conditions(self, bcs):
+        """Set Dirichlet BCs (single or list; reference ``hmm.py:276-287``)."""
+        self._bcs = bcs if isinstance(bcs, list) else [bcs]
+        self._needs_reassembly = True
+
+    def set_right_hand_side(self, f):
+        """Replace the rhs f (reference ``hmm.py:289-296``; unlike the
+        reference quirk noted in SURVEY §2.5, ``f`` receives a real point x).
+        """
+        self._f_fn = _as_source(f, self._V_macro.bs)
+
+    def homogenized_tensors(self) -> jnp.ndarray:
+        """A*(c_T) per macro cell, (nc, s, s) — the micro stage output."""
+        if self._A_star is None:
+            self._A_star = self._engine.tensors_for_centers(
+                self._coeff, self._sys.centers, G_fn=self._G_fn(), chunk=self._chunk
+            )
+            self._A_star = jax.block_until_ready(self._A_star)
+        return self._A_star
+
+    def local_stiffness(self) -> jnp.ndarray:
+        """S_loc per cell, (nc, nb, nb) — equals the reference's per-cell
+        output ``S_loc * |T|/|Y|`` (``hmm.py:366-369``)."""
+        A_star = self.homogenized_tensors()
+        A_T = jnp.swapaxes(A_star, -1, -2)  # reference index order, see engine
+        sys = self._sys
+        if self._V_macro.bs == 1:
+            return jnp.einsum("c,cad,cde,cbe->cab", sys.vols, sys.grads, A_T, sys.grads)
+        return jnp.einsum(
+            "c,cmr,crt,cnt->cmn", sys.vols, sys.strain_P, A_T, sys.strain_P
+        )
+
+    def solve(self) -> Function:
+        """Assemble the HMM system and solve (reference ``hmm.py:434-491``)."""
+        sys = self._sys
+        S_loc = self.local_stiffness()
+        vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+        b = assemble_load_vector(
+            sys.verts,
+            sys.cells,
+            self._f_fn,
+            bs=self._V_macro.bs,
+            degree=self._quad_degree_rhs,
+        )
+        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
+        vals_bc, b_bc = apply_dirichlet(
+            vals, sys.cols, sys.diag_slots, b, mask, bvals
+        )
+        self._last_vals_bc = vals_bc
+        x, iters, res = solve_ell(vals_bc, sys.cols, b_bc, self._options_global)
+        self._needs_reassembly = False
+        self._u = Function(self._V_macro, x)
+        self._u.solver_iterations = int(iters)
+        self._u.solver_residual = float(res)
+        return self._u
+
+    def matrix_dense(self) -> np.ndarray:
+        """Assembled (BC-applied) macro matrix as dense numpy — debugging and
+        parity gates (replaces ``petsc_helper.petsc_matrix_to_numpy`` on
+        ``hmm._A``, reference ``test_integration_poisson.py:236-240``)."""
+        if self._last_vals_bc is None:
+            raise RuntimeError("call solve() first")
+        return np.asarray(ell_to_dense(self._last_vals_bc, self._sys.cols))
+
+    def plot_solution(self, u: Optional[Function] = None, **kw):
+        from hommx_tpu.utils.plotting import plot_fem_function
+
+        return plot_fem_function(self._V_macro, u or self._u, **kw)
+
+
+class PoissonHMM(BaseHMM):
+    r"""HMM for the multiscale Poisson problem (reference ``hmm.py:514-667``).
+
+    Solves  -div(A(x, x/eps) ∇u) = f  with the HMM bilinear form
+
+        a_H(v, w) = Σ_T |T|/|Y| ∫_Y A(c_T, y)(∇v + ∇ṽ)·(∇w + ∇w̃) dy
+
+    where the correctors ṽ solve the periodic cell problem
+    ∫ A ∇ṽ·∇z = -∫ A ∇v·∇z.  A zero Dirichlet BC on the bounding-box
+    boundary is installed by default (reference ``hmm.py:598-636``).
+    """
+
+    _bs = 1
+
+    def __init__(self, msh, A, f, msh_micro, eps, *args, **kwargs):
+        super().__init__(msh, A, f, msh_micro, eps, *args, **kwargs)
+        self._bcs = [_box_boundary_zero_bc(self._V_macro)]
+
+
+class PoissonStratifiedHMM(PoissonHMM):
+    r"""Stratified/deformed-laminate Poisson HMM (reference ``hmm.py:670-789``).
+
+    The coefficient is A(x, θ(x)/eps); the user supplies
+    ``Dtheta_transpose(x) -> (d, d)`` with entries (∂θ_j/∂x_i), which maps
+    corrector gradients in all three cell-problem forms
+    (reference ``hmm.py:759-789``).
+    """
+
+    def __init__(
+        self,
+        msh,
+        A,
+        f,
+        msh_micro,
+        eps,
+        Dtheta_transpose: Callable,
+        *args,
+        **kwargs,
+    ):
+        self._Dtheta_t = Dtheta_transpose
+        super().__init__(msh, A, f, msh_micro, eps, *args, **kwargs)
+
+    def _G_fn(self):
+        return self._Dtheta_t
+
+
+class LinearElasticityHMM(BaseHMM):
+    r"""HMM for multiscale linear elasticity (reference ``hmm.py:792-922``).
+
+    A(x, y) is a fourth-order Hooke tensor (d,d,d,d); the cell problems use
+    the strain e(u) = ½(∇u + ∇uᵀ).  No default boundary conditions
+    (reference ``hmm.py:806-807``) — set them via
+    :meth:`set_boundary_conditions`.
+    """
+
+    def __init__(self, msh, A, f, msh_micro, eps, *args, **kwargs):
+        self._bs = msh.dim
+        super().__init__(msh, A, f, msh_micro, eps, *args, **kwargs)
+
+
+class LinearElasticityStratifiedHMM(LinearElasticityHMM):
+    r"""Stratified elasticity HMM (reference ``hmm.py:925-1067``).
+
+    Corrector strains use the deformed strain
+    e_D(u) = ½(Dθᵀ ∇̄u + (Dθᵀ ∇̄u)ᵀ) with ∇̄ = nabla_grad = gradᵀ
+    (the grad/nabla_grad ordering note of reference ``hmm.py:1027-1029``);
+    the macro basis part keeps the plain strain e (reference
+    ``hmm.py:1043-1067``).
+    """
+
+    def __init__(
+        self, msh, A, f, msh_micro, eps, Dtheta_transpose: Callable, *args, **kwargs
+    ):
+        self._Dtheta_t = Dtheta_transpose
+        super().__init__(msh, A, f, msh_micro, eps, *args, **kwargs)
+
+    def _G_fn(self):
+        return self._Dtheta_t
+
+
+def _box_boundary_zero_bc(V: FunctionSpace) -> DirichletBC:
+    """Zero Dirichlet BC on the bounding-box boundary (reference
+    ``hmm.py:598-636`` uses min/max coordinate markers)."""
+    mesh = V.mesh
+    lo, hi = mesh.bounding_box()
+
+    def marker(x):
+        m = np.zeros(x.shape[1], dtype=bool)
+        for k in range(mesh.dim):
+            m |= np.isclose(x[k], lo[k]) | np.isclose(x[k], hi[k])
+        return m
+
+    dofs = locate_dofs_geometrical(V, marker)
+    return dirichletbc(0.0 if V.bs == 1 else np.zeros(V.bs), dofs, V)

@@ -1,0 +1,129 @@
+"""Global FEM assembly, Dirichlet lifting, load vectors, and integrals.
+
+Replaces the PETSc assembly + BC pipeline of the reference
+(``hmm.py:298-332`` global scatter, ``hmm.py:441-480`` rhs assembly and
+symmetric Dirichlet lifting via ``zeroRowsColumns``).  Everything below is
+jittable; patterns and index arrays are static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.ops.elements import cell_geometry, quad_points_physical
+from hommx_tpu.ops.sparse import ELLPattern, spmv
+
+__all__ = [
+    "assemble_ell",
+    "apply_dirichlet",
+    "assemble_load_vector",
+    "integrate",
+    "l2_norm_fn",
+    "assemble_p1_stiffness_local",
+]
+
+
+def assemble_ell(pattern: ELLPattern, S_loc: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    """Scatter per-cell blocks (nc, nb, nb) into the flat ELL value array.
+
+    ``slots`` is ``pattern.slots`` as a device array.  One XLA scatter-add
+    replaces the reference's per-cell ``A.setValues(..., ADD_VALUES)`` loop
+    (reference ``hmm.py:325-330``).
+    """
+    vals = jnp.zeros(pattern.num_dofs * pattern.row_width, dtype=S_loc.dtype)
+    return vals.at[slots.reshape(-1)].add(S_loc.reshape(-1))
+
+
+def apply_dirichlet(
+    vals: jnp.ndarray,
+    cols: jnp.ndarray,
+    diag_slots: jnp.ndarray,
+    b: jnp.ndarray,
+    bc_mask: jnp.ndarray,
+    bc_values: jnp.ndarray,
+):
+    """Symmetric Dirichlet elimination by lifting.
+
+    Mirrors the reference recipe exactly (``hmm.py:453-480``):
+        b  <- b - A @ u_bc          (lifting, keeps symmetry)
+        A  <- zero bc rows & cols, 1 on the bc diagonal
+        b  <- bc values on bc rows
+
+    Args:
+        bc_mask: (N,) bool, True at constrained dofs.
+        bc_values: (N,) bc value at constrained dofs (0 elsewhere).
+    Returns: (vals', b')
+    """
+    N, K = cols.shape
+    u_bc = jnp.where(bc_mask, bc_values, 0.0)
+    b = b - spmv(vals, cols, u_bc)
+    keep_row = jnp.logical_not(bc_mask).astype(vals.dtype)  # (N,)
+    keep_col = keep_row[cols]  # (N, K)
+    v = vals.reshape(N, K) * keep_row[:, None] * keep_col
+    v = v.reshape(-1)
+    diag_val = jnp.where(bc_mask, jnp.ones_like(b), v[diag_slots])
+    v = v.at[diag_slots].set(diag_val)
+    b = jnp.where(bc_mask, bc_values, b)
+    return v, b
+
+
+def assemble_load_vector(vertices, cells, f, bs: int = 1, degree: int = 2):
+    """b_i = ∫ f · v_i dx with quadrature of given degree.
+
+    Replaces ``fem.form(inner(f(x), v)*dx)`` + ``_assemble_vector_array``
+    (reference ``hmm.py:129-133,445-450``).
+
+    Args:
+        f: JAX callable x:(d,) -> scalar (bs=1) or (bs,) vector.
+    Returns: (num_vertices*bs,) load vector.
+    """
+    xq, wq, lam = quad_points_physical(vertices, cells, degree)  # (nc,nq,d),(nc,nq),(nq,nb0)
+    fvals = jax.vmap(jax.vmap(f))(xq)  # (nc, nq) or (nc, nq, bs)
+    if bs == 1:
+        fvals = fvals.reshape(xq.shape[0], xq.shape[1])
+        contrib = jnp.einsum("cq,qa->ca", wq * fvals, lam)  # (nc, nb0)
+        b = jnp.zeros(vertices.shape[0], dtype=contrib.dtype)
+        return b.at[cells.reshape(-1)].add(contrib.reshape(-1))
+    fvals = fvals.reshape(xq.shape[0], xq.shape[1], bs)
+    contrib = jnp.einsum("cq,cqk,qa->cak", wq, fvals, lam)  # (nc, nb0, bs)
+    b = jnp.zeros(vertices.shape[0] * bs, dtype=contrib.dtype)
+    dofs = (cells[:, :, None] * bs + jnp.arange(bs)[None, None, :]).reshape(-1)
+    return b.at[dofs].add(contrib.reshape(-1))
+
+
+def integrate(vertices, cells, fn, degree: int = 4):
+    """∫ fn(x) dx over the mesh with the given quadrature degree."""
+    xq, wq, _ = quad_points_physical(vertices, cells, degree)
+    vals = jax.vmap(jax.vmap(fn))(xq)
+    return jnp.sum(wq * vals.reshape(wq.shape))
+
+
+def l2_norm_fn(vertices, cells, u_nodes, bs: int = 1, exact=None, degree: int = 4):
+    """L² norm of (u_h - exact) for a P1 function; exact may be None.
+
+    ``exact`` is a JAX callable x -> scalar/(bs,).  Replaces the reference's
+    ``assemble_scalar(form(inner(u1-u2, u1-u2)*dx))`` error computations
+    (``test_integration_poisson.py:27-38``).
+    """
+    xq, wq, lam = quad_points_physical(vertices, cells, degree)
+    uv = u_nodes.reshape(-1, bs)[cells]  # (nc, nb0, bs)
+    uq = jnp.einsum("qa,cab->cqb", lam, uv)  # (nc, nq, bs)
+    if exact is not None:
+        ex = jax.vmap(jax.vmap(exact))(xq).reshape(uq.shape)
+        uq = uq - ex
+    return jnp.sqrt(jnp.sum(wq * jnp.sum(uq * uq, axis=-1)))
+
+
+def assemble_p1_stiffness_local(vertices, cells, coeff_at_cell):
+    """Per-cell stiffness S_loc for elementwise-constant matrix coefficient.
+
+    Args:
+        coeff_at_cell: (nc, d, d) coefficient A evaluated per cell (for HMM
+            this is the homogenized tensor A*(c_T); reference ``hmm.py:366-369``
+            scales the micro integral into exactly this form).
+    Returns: (nc, nb0, nb0) with S[c,a,b] = |T_c| * ∇λ_a · A_c ∇λ_b.
+    """
+    grads, vols = cell_geometry(vertices, cells)  # (nc, nb0, d), (nc,)
+    return jnp.einsum("c,cad,cde,cbe->cab", vols, grads, coeff_at_cell, grads)

@@ -1,0 +1,96 @@
+"""Linear solvers: preconditioned CG on ELL SpMV, dense direct fallback.
+
+Replaces PETSc KSP/PC (reference ``hmm.py:153-168,482-488``).  The macro
+systems produced by HMM are SPD after symmetric Dirichlet lifting, so
+Jacobi-preconditioned CG covers the iterative path; small systems (the usual
+HMM macro meshes — the whole point of HMM is a *coarse* macro mesh) take a
+dense Cholesky, which stands in for the reference's LU/MUMPS configurations
+(``test_integration_poisson.py:207-212``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hommx_tpu.ops.sparse import ell_to_dense, spmv
+
+__all__ = ["cg_ell", "dense_solve_ell", "solve_ell", "cg_matfree"]
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def cg_ell(vals, cols, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
+    """Jacobi-preconditioned conjugate gradients on an ELL matrix.
+
+    Returns (x, iterations, final residual norm).  Convergence flag mirrors
+    the reference's ``KSP.getConvergedReason()`` check (``hmm.py:485-488``):
+    ``iters < maxiter`` means converged.
+    """
+    matvec = lambda v: spmv(vals, cols, v)
+    return cg_matfree(matvec, _ell_diag(vals, cols), b, x0, atol, rtol, maxiter)
+
+
+def _ell_diag(vals, cols):
+    N, K = cols.shape
+    rows = jnp.broadcast_to(jnp.arange(N)[:, None], (N, K))
+    isdiag = (cols == rows).astype(vals.dtype)
+    return jnp.sum(vals.reshape(N, K) * isdiag, axis=1)
+
+
+def cg_matfree(matvec, diag, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
+    """Matrix-free PCG with Jacobi preconditioner ``diag``."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
+    r = b - matvec(x)
+    z = dinv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(atol, rtol * bnorm)
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return jnp.logical_and(jnp.linalg.norm(r) > tol, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = dinv * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    return x, k, jnp.linalg.norm(r)
+
+
+@jax.jit
+def dense_solve_ell(vals, cols, b):
+    """Dense Cholesky solve of the ELL system (small macro systems)."""
+    A = ell_to_dense(vals, cols)
+    c, low = jax.scipy.linalg.cho_factor(A)
+    return jax.scipy.linalg.cho_solve((c, low), b)
+
+
+def solve_ell(vals, cols, b, options):
+    """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'."""
+    method = options.method
+    if method == "auto":
+        method = "direct" if b.shape[0] <= options.direct_threshold else "cg"
+    if method == "direct":
+        x = dense_solve_ell(vals, cols, b)
+        return x, jnp.array(0), jnp.array(0.0, dtype=b.dtype)
+    return cg_ell(
+        vals,
+        cols,
+        b,
+        atol=options.atol,
+        rtol=options.rtol,
+        maxiter=options.maxiter,
+    )

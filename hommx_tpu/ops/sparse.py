@@ -1,0 +1,84 @@
+"""ELL sparse matrices for TPU-friendly SpMV.
+
+Replaces PETSc MatAIJ (reference ``hmm.py:144-149,325-330``).  CSR rows of a
+P1 stiffness matrix have small, bounded valence (≈7 in 2D, ≈15 in 3D
+structured meshes), so a padded ELL layout — (num_rows, K) value and column
+arrays — turns SpMV into one gather + multiply + row-sum, which maps onto the
+TPU VPU with fully static shapes (no per-row loops, no dynamic indexing).
+
+The sparsity pattern is built once on host from the cell dofmap; assembly is
+then a single jittable ``scatter-add`` of all per-cell blocks
+(replaces ``A.setValues(ADD_VALUES)`` + ``A.assemble()``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ELLPattern", "build_ell_pattern", "spmv", "ell_to_dense"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ELLPattern:
+    """Static sparsity pattern for assembling P1 stiffness matrices.
+
+    Attributes:
+        num_dofs: matrix size N.
+        row_width: padded entries per row K.
+        cols: (N, K) int32 column index per slot (padding slots point at 0;
+            their values stay 0 so they never contribute).
+        slots: (num_cells, nb, nb) int32 flat index into the (N*K,) value
+            array for each element-matrix entry.
+        diag_slots: (N,) int32 flat slot of each diagonal entry.
+    """
+
+    num_dofs: int
+    row_width: int
+    cols: np.ndarray
+    slots: np.ndarray
+    diag_slots: np.ndarray
+
+
+def build_ell_pattern(cell_dofs: np.ndarray, num_dofs: int) -> ELLPattern:
+    """Host-side pattern construction from the (num_cells, nb) dofmap."""
+    nc, nb = cell_dofs.shape
+    rows = np.repeat(cell_dofs, nb, axis=1).reshape(-1)  # (nc*nb*nb,)
+    cols = np.tile(cell_dofs, (1, nb)).reshape(-1)
+    keys = rows.astype(np.int64) * num_dofs + cols
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    urows = (uniq // num_dofs).astype(np.int64)
+    ucols = (uniq % num_dofs).astype(np.int64)
+    counts = np.bincount(urows, minlength=num_dofs)
+    K = int(counts.max())
+    # position of each unique pair within its row (uniq is sorted row-major)
+    row_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_row = np.arange(uniq.shape[0]) - row_starts[urows]
+    pair_slot = (urows * K + pos_in_row).astype(np.int64)
+
+    cols_arr = np.zeros((num_dofs, K), dtype=np.int32)
+    cols_arr.reshape(-1)[pair_slot] = ucols
+    slots = pair_slot[inverse].reshape(nc, nb, nb).astype(np.int32)
+
+    diag_mask = urows == ucols
+    diag_slots = np.zeros(num_dofs, dtype=np.int64)
+    diag_slots[urows[diag_mask]] = pair_slot[diag_mask]
+    return ELLPattern(num_dofs, K, cols_arr, slots, diag_slots.astype(np.int32))
+
+
+def spmv(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x for ELL values (N*K,) / (N,K) and column indices (N, K)."""
+    N, K = cols.shape
+    v = vals.reshape(N, K)
+    return jnp.sum(v * x[cols], axis=1)
+
+
+def ell_to_dense(vals: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Materialize the ELL matrix as dense (N, N) (small macro systems /
+    debugging — replaces ``petsc_helper.petsc_matrix_to_numpy``)."""
+    N, K = cols.shape
+    rows = jnp.broadcast_to(jnp.arange(N)[:, None], (N, K))
+    dense = jnp.zeros((N, N), dtype=vals.dtype)
+    return dense.at[rows, cols].add(vals.reshape(N, K))

@@ -1,0 +1,77 @@
+"""Solver configuration.
+
+Replaces the reference's pass-through PETSc option dicts
+(``petsc_options_global_solve`` / ``petsc_options_cell_problem``,
+reference ``hmm.py:70-72,153-168``) with a small dataclass.  For drop-in
+familiarity, PETSc-style dicts are still accepted and the common keys are
+translated (``ksp_atol``, ``ksp_rtol``, ``ksp_max_it``, ``ksp_type``,
+``pc_type``); unknown keys are ignored with a warning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Union
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SolverOptions"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Options for a linear solve level (macro solve or micro cell solves).
+
+    Attributes:
+        method: 'auto' | 'direct' | 'cg'.  'auto' takes a dense Cholesky for
+            systems up to ``direct_threshold`` unknowns, CG above.
+        atol, rtol, maxiter: CG stopping criteria.
+        direct_threshold: size cutoff for the 'auto' dense path.
+        dtype: optional dtype override ('float32'/'float64'); None = package
+            default (float64 with x64, else float32).
+    """
+
+    method: str = "auto"
+    atol: float = 1e-12
+    rtol: float = 1e-10
+    maxiter: int = 10000
+    direct_threshold: int = 4096
+    dtype: Optional[str] = None
+
+    @staticmethod
+    def from_any(
+        opts: Union["SolverOptions", dict, None], default: "SolverOptions" = None
+    ) -> "SolverOptions":
+        if opts is None:
+            return default if default is not None else SolverOptions()
+        if isinstance(opts, SolverOptions):
+            return opts
+        if isinstance(opts, dict):
+            return _from_petsc_dict(opts, default)
+        raise TypeError(f"cannot build SolverOptions from {type(opts)}")
+
+
+def _from_petsc_dict(d: dict, default: Optional[SolverOptions]) -> SolverOptions:
+    base = default if default is not None else SolverOptions()
+    kw = {}
+    for key, val in d.items():
+        if key == "ksp_atol":
+            kw["atol"] = float(val)
+        elif key == "ksp_rtol":
+            kw["rtol"] = float(val)
+        elif key == "ksp_max_it":
+            kw["maxiter"] = int(val)
+        elif key == "ksp_type":
+            if val in ("preonly",):
+                kw["method"] = "direct"
+            elif val in ("cg", "gmres"):
+                kw["method"] = "cg"
+        elif key == "pc_type":
+            if val == "lu":
+                kw["method"] = "direct"
+        elif key == "pc_factor_mat_solver_type":
+            pass  # mumps etc.: the dense direct path covers it
+        else:
+            logger.warning("SolverOptions: ignoring unknown PETSc option %r", key)
+    return dataclasses.replace(base, **kw)
