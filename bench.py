@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: micro cell-problem solves/sec on the available accelerator.
+
+Headline metric (BASELINE.json north star): batched periodic micro
+cell-problem corrector solves per second.  One "solve" = one corrector
+linear system (assemble + Cholesky-factorized solve against one RHS) — the
+unit of work the reference performs as a full PETSc assemble+KSP round trip
+per macro basis function (reference ``hmm.py:420-426``).  We count
+``num_macro_cells × d`` generator solves (the d-RHS factorization is the
+algorithm, not an accounting trick: it produces the identical HMM stiffness).
+For scale: the reference's own count would be ``cells × (d+1)`` basis
+solves for the same output.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 1e5 (the v5e-8 target; this runs on however many chips
+are visible).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.meshes import create_unit_square
+from hommx_tpu.micro.engine import MicroEngine
+
+
+def main():
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon")
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    # Workload: 2D Poisson HMM micro stage — 32768 macro quadrature points,
+    # 16x16 unit-cell micro mesh (n_red = 256), d = 2 generator solves each.
+    micro = create_unit_square(16, 16)
+    engine = MicroEngine(micro, bs=1, coeff_kind="scalar", quad_degree=2, dtype=dtype)
+
+    n_cells = 32768
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(rng.uniform(0, 1, size=(n_cells, 2)), dtype=dtype)
+
+    def coeff(x, y):
+        return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+
+    chunk = 2048 if on_tpu else 256
+
+    @jax.jit
+    def run(c):
+        return engine.tensors_for_centers(coeff, c, chunk=chunk)
+
+    # compile + warm up
+    out = jax.block_until_ready(run(centers))
+    t0 = time.perf_counter()
+    reps = 3 if on_tpu else 1
+    for _ in range(reps):
+        out = jax.block_until_ready(run(centers))
+    dt = (time.perf_counter() - t0) / reps
+
+    nrhs = engine.s  # d generator correctors per cell
+    solves_per_sec = n_cells * nrhs / dt
+    result = {
+        "metric": "micro_cell_solves_per_sec",
+        "value": round(float(solves_per_sec), 1),
+        "unit": "solves/s",
+        "vs_baseline": round(float(solves_per_sec) / 1e5, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,13 +27,31 @@ import jax.numpy as jnp
 if os.environ.get("HOMMX_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in some environments;
+# honor HOMMX_FORCE_CPU=1 (and JAX_PLATFORMS=cpu, restoring its documented
+# meaning) as a reliable CPU switch.
+if (
+    os.environ.get("HOMMX_FORCE_CPU") == "1"
+    or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)
 
 
 def default_dtype() -> jnp.dtype:
-    return jnp.float64 if x64_enabled() else jnp.float32
+    """float64 where it is native (CPU — the parity/test path), float32 on
+    TPU (f64 is emulated there; pass dtype=jnp.float64 explicitly to force)."""
+    if not x64_enabled():
+        return jnp.float32
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return jnp.float32
+    except Exception:  # pragma: no cover
+        pass
+    return jnp.float64
 
 
 def index_dtype() -> jnp.dtype:

@@ -6,13 +6,24 @@ Here the whole batch of macro quadrature points runs as one jitted pipeline
 of matmuls (MXU) + batched Cholesky:
 
     for every macro cell c (vmapped, chunked, shard_map-able):
-        A_q   = coeff(c_T, y_q)              # user JAX callable at micro
-                                             # quadrature points
-        K_c   = D_cᵀ diag(w ⊗ A_q) D_c       # reduced periodic cell operator
+        Ā_e   = Σ_q w_eq A(c_T, y_eq)        # coefficient reduced to one
+                                             # (r×r) block per micro element
+        K_c   = Σ_e D_eᵀ (T_cᵀ Ā_e T_c) D_e  # reduced periodic cell operator
         X_c   = cholesky_solve(K_c, F_c)     # s = d (scalar) or d² (elastic)
                                              # generator correctors
-        Φ_c   = E + D_c X_c                  # corrected gradient fields
-        A*_c  = (1/|Y|) Φ_cᵀ (w ⊗ A_q) Φ_c   # homogenized tensor at c_T
+        Φ_c,e = E + T_c D_e X_c              # corrected per-element fields
+        A*_c  = (1/|Y|) Σ_e Φᵀ Ā_e Φ         # homogenized tensor at c_T
+
+P1 gradients are constant per micro element, so the quadrature collapses
+into Ā_e *before* any O(n_red) work — the q-axis never touches the big
+contractions.  K_c has two interchangeable builds:
+
+  * ``dense``  — K_c = D_flatᵀ Z_flat, one big MXU matmul over the
+    (nE·r, n_red) dense gradient operator.  Best for small/medium micro
+    meshes (n_red ≲ 512): pure matmul, no scatter.
+  * ``scatter`` — per-element (nbl×nbl) blocks scattered into the dense
+    reduced matrix (the classical FEM assembly, batched).  O(nE·nbl²)
+    instead of O(nE·r·n_red²): asymptotically right for large micro meshes.
 
 The mathematical identity with the reference: every reference cell-problem
 RHS is linear in the constant macro-basis gradient (``hmm.py:371-395``
@@ -22,19 +33,15 @@ and the reference's local stiffness ``S_loc`` (``hmm.py:361-369``) equals
 |T| · P A*_c Pᵀ with P the macro P1 gradient/strain coefficients.  The
 1/eps² · eps² cancellation (``hmm.py:652-667``) happens symbolically here.
 
-Gradient-operator layout: D is a dense (nQ, r, n_red) operator taking
-reduced dof vectors to gradient components at every micro quadrature point
-(r = d for scalar problems, d² = flattened ∂u_i/∂y_j for elasticity).
-Periodicity is eliminated by *construction* of D through the reduced vertex
-index (see micro/periodic.py), replacing dolfinx_mpc constrained assembly.
-The constant-nullspace (translations) is removed by pinning the dofs of
-reduced vertex 0 — correctors shift by a constant, gradients and A* do not
-(replaces the PETSc NullSpace dance of ``cell_problem.py:345-361``).
+Periodicity is eliminated by *construction* through the reduced vertex index
+(see micro/periodic.py), replacing dolfinx_mpc constrained assembly.  The
+constant nullspace (translations) is removed by pinning the dofs of reduced
+vertex 0 — correctors shift by a constant, gradients and A* do not (replaces
+the PETSc NullSpace dance of ``cell_problem.py:345-361``).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -78,6 +85,8 @@ class MicroEngine:
         quad_degree: micro quadrature degree (elementwise; replaces FFCx's
             automatic degree estimation).
         dtype: compute dtype.
+        assembly: 'auto' | 'dense' | 'scatter' — K build strategy (see
+            module docstring).
     """
 
     def __init__(
@@ -87,6 +96,10 @@ class MicroEngine:
         coeff_kind: str = "scalar",
         quad_degree: int = 2,
         dtype=None,
+        assembly: str = "auto",
+        solver: str = "auto",
+        pcg_tol: float = 1e-8,
+        pcg_maxiter: int = 200,
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -97,11 +110,23 @@ class MicroEngine:
         self.d = d
         if bs not in (1, d):
             raise ValueError("bs must be 1 (scalar) or dim (vector)")
-        self.r = d if bs == 1 else d * d  # gradient components per point
+        self.r = d if bs == 1 else d * d  # gradient components per element
         self.s = d if bs == 1 else d * d  # number of generator problems
         self.pmap = build_periodic_map(micro_mesh)
         self.n_reduced = self.pmap.n_reduced * self.bs
         self.volume_Y = micro_mesh.volume()
+        if assembly == "auto":
+            assembly = "dense" if self.n_reduced <= 512 else "scatter"
+        self.assembly = assembly
+        if solver == "auto":
+            # Cholesky is exact (parity gates); PCG is the TPU fast path —
+            # batched dense Cholesky/tri-solves are slow on the TPU's MXU,
+            # while the K₀⁻¹-preconditioned block-CG is all matmuls.
+            solver = "pcg" if jnp.dtype(self.dtype) == jnp.float32 else "cholesky"
+        self.solver = solver
+        self.pcg_tol = float(pcg_tol)
+        self.pcg_maxiter = int(pcg_maxiter)
+        self._K0inv = None
         self._build_operators()
 
     # -- static operator construction (host, once) --------------------------
@@ -112,39 +137,49 @@ class MicroEngine:
         grads, vols = cell_geometry(verts, cells)  # (ne, d+1, d), (ne,)
         xq, wq, _ = quad_points_physical(verts, cells, self.quad_degree)
         ne, nq = wq.shape
-        self.nQ = ne * nq
-        self.yq = np.asarray(xq).reshape(self.nQ, d)  # micro coords of q-points
-        self.w = np.asarray(wq).reshape(self.nQ)
+        self.nE, self.nq = ne, nq
+        self.yq = np.asarray(xq)  # (ne, nq, d) micro quadrature points
+        self.wq = np.asarray(wq)  # (ne, nq) weights, Σ = |Y|
 
         red = self.pmap.reduced_index  # (nv,)
         cells_np = mesh.cells
         grads_np = np.asarray(grads)  # (ne, d+1, d)
-        nred = self.n_reduced
+        nbl = (d + 1) * bs  # local dofs per micro element
+        self.nbl = nbl
 
-        # Dense gradient operator D: (nQ, r, nred).
-        D = np.zeros((ne, self.r, self.pmap.n_reduced * bs), dtype=np.float64)
+        # local gradient operator Draw: (ne, r, nbl)
+        Draw = np.zeros((ne, self.r, nbl), dtype=np.float64)
         for a in range(d + 1):
-            red_vert = red[cells_np[:, a]]  # (ne,)
             if bs == 1:
-                # D[e, k, red_vert] += grad_a[k]
-                np.add.at(
-                    D, (np.arange(ne)[:, None], np.arange(d)[None, :], red_vert[:, None]),
-                    grads_np[:, a, :],
-                )
+                Draw[:, :, a] = grads_np[:, a, :]
             else:
-                # component i of the vector dof at this vertex contributes
-                # grad_a[j] to gradient entry H_{ij} (row i*d+j)
                 for i in range(bs):
-                    rows = np.arange(i * d, (i + 1) * d)
-                    cols = red_vert * bs + i
-                    np.add.at(
-                        D,
-                        (np.arange(ne)[:, None], rows[None, :], cols[:, None]),
-                        grads_np[:, a, :],
-                    )
-        # replicate per quadrature point (P1 gradients are elementwise const)
-        D = np.repeat(D, nq, axis=0)  # (nQ, r, nred)
-        self.D = jnp.asarray(D, dtype=self.dtype)
+                    # component i of vector dof (a, i) contributes grad_a[j]
+                    # to gradient entry H_{ij} (row i*d+j)
+                    Draw[:, i * d : (i + 1) * d, a * bs + i] = grads_np[:, a, :]
+        self.Draw = jnp.asarray(Draw, dtype=self.dtype)
+
+        # local -> reduced dof map (ne, nbl)
+        red_cells = red[cells_np]  # (ne, d+1)
+        if bs == 1:
+            loc2red = red_cells
+        else:
+            comp = np.arange(bs)
+            loc2red = (red_cells[:, :, None] * bs + comp[None, None, :]).reshape(
+                ne, nbl
+            )
+        self.loc2red = jnp.asarray(loc2red)
+
+        nred = self.n_reduced
+        if self.assembly == "dense":
+            # dense reduced gradient operator D: (ne, r, nred)
+            D = np.zeros((ne, self.r, nred), dtype=np.float64)
+            e_idx = np.arange(ne)[:, None, None]
+            r_idx = np.arange(self.r)[None, :, None]
+            np.add.at(D, (e_idx, r_idx, loc2red[:, None, :]), Draw)
+            self.D = jnp.asarray(D, dtype=self.dtype)
+        else:
+            self.D = None
 
         # generator fields E: (r, s)
         if bs == 1:
@@ -163,76 +198,166 @@ class MicroEngine:
         pin = np.zeros(nred, dtype=bool)
         pin[:bs] = True
         self.pin_mask = jnp.asarray(pin)
-        self.w_dev = jnp.asarray(self.w, dtype=self.dtype)
         self.yq_dev = jnp.asarray(self.yq, dtype=self.dtype)
-        if bs == d:
-            self.D_sym = jnp.einsum(
-                "rs,qsn->qrn", _sym_map(jnp.eye(d, dtype=self.dtype)), self.D
-            )
+        self.wq_dev = jnp.asarray(self.wq, dtype=self.dtype)
+        self._eye_sym = (
+            _sym_map(jnp.eye(d, dtype=self.dtype)) if bs == d else None
+        )
+        if self.solver == "pcg":
+            self._get_K0inv()  # build eagerly — np.linalg.inv can't trace
 
-    # -- coefficient canonicalization ---------------------------------------
-    def _coeff_at_quad(self, coeff: Callable, x_center: jnp.ndarray) -> jnp.ndarray:
-        """A(c_T, y_q) for all micro quadrature points → (nQ, r, r) canonical
-        matrix form (scalar a → a·I acting on gradient components)."""
+    # -- coefficient reduction ----------------------------------------------
+    def element_coeff(self, coeff: Callable, x_center: jnp.ndarray) -> jnp.ndarray:
+        """Ā_e = Σ_q w_eq A(c_T, y_eq) in canonical (ne, r, r) matrix form.
+
+        P1 micro gradients are elementwise constant, so this is the only
+        place quadrature appears; scalar coefficients stay scalar until the
+        final broadcast (Ā_e = ā_e · I acting on gradient components).
+        """
         d = self.d
 
         def at_point(y):
-            val = coeff(x_center, y)
-            return jnp.asarray(val, dtype=self.dtype)
+            return jnp.asarray(coeff(x_center, y), dtype=self.dtype)
 
-        vals = jax.vmap(at_point)(self.yq_dev)
+        vals = jax.vmap(jax.vmap(at_point))(self.yq_dev)  # (ne, nq, ...)
         if self.coeff_kind == "scalar":
-            return vals.reshape(self.nQ, 1, 1) * jnp.eye(self.r, dtype=self.dtype)
+            a_e = jnp.einsum("eq,eq->e", self.wq_dev, vals.reshape(self.nE, self.nq))
+            return a_e[:, None, None] * jnp.eye(self.r, dtype=self.dtype)
         if self.coeff_kind == "matrix":
-            return vals.reshape(self.nQ, d, d)
-        # tensor4: A[i,j,k,l] with test index (ij), trial (kl)
-        return vals.reshape(self.nQ, d * d, d * d)
+            return jnp.einsum(
+                "eq,eqij->eij", self.wq_dev, vals.reshape(self.nE, self.nq, d, d)
+            )
+        # tensor4: A[i,j,k,l] -> (d², d²) with test rows (ij), trial cols (kl)
+        return jnp.einsum(
+            "eq,eqrt->ert",
+            self.wq_dev,
+            vals.reshape(self.nE, self.nq, d * d, d * d),
+        )
 
     # -- the per-cell kernel -------------------------------------------------
-    def _corr_operator(self, G: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """Gradient operator on the corrector side, optionally mapped by
-        G = Dθᵀ(c_T) (stratified variants, reference ``hmm.py:759-789``)."""
-        if G is None:
-            return self.D if self.bs == 1 else self.D_sym
+    def _grad_map(self, G: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+        """(r, r) map applied to corrector-side gradients: None (scalar,
+        unmapped), G = Dθᵀ (stratified scalar), symmetrization (elasticity),
+        or the deformed-strain map (stratified elasticity,
+        reference ``hmm.py:1024-1030``)."""
         if self.bs == 1:
-            return jnp.einsum("ij,qjn->qin", G, self.D)
-        return jnp.einsum("rs,qsn->qrn", _sym_map(G), self.D)
+            return G  # None or (d, d)
+        return self._eye_sym if G is None else _sym_map(G)
 
-    def cell_tensor(self, Aq: jnp.ndarray, G: Optional[jnp.ndarray] = None):
+    def cell_tensor(self, Ae: jnp.ndarray, G: Optional[jnp.ndarray] = None):
         """Homogenized tensor A* (s, s) and generator correctors X (nred, s)
         for one macro quadrature point.
 
-        Aq: (nQ, r, r) canonical coefficient values at micro quad points.
+        Ae: (ne, r, r) per-element reduced coefficient (see element_coeff).
+        G:  optional Dθᵀ(c_T) gradient map (stratified variants).
         """
-        Dc = self._corr_operator(G)  # (nQ, r, nred)
-        w = self.w_dev
-        nQ, r, nred = Dc.shape
+        T = self._grad_map(G)
+        # test/trial-mapped per-element coefficient blocks:
+        #   K-side:  Tᵀ Ā T   (both sides correctors)
+        #   F-side:  Tᵀ Ā     (test corrector, trial macro field E)
+        if T is None:
+            A_K = Ae
+            A_F = Ae
+        else:
+            # mapped fields are T·(gradient): K-side Tᵀ Ā T, F-side Tᵀ Ā
+            A_K = jnp.einsum("mr,emt,tn->ern", T, Ae, T)
+            A_F = jnp.einsum("mr,emt->ert", T, Ae)
 
-        # Z[q, i, n] = Σ_j Aq[q, i, j] Dc[q, j, n]   (test-side contraction)
-        Z = jnp.einsum("qij,qjn->qin", Aq, Dc)
-        Kfull = jnp.einsum(
-            "qin,qim->nm", Dc * w[:, None, None], Z
-        )  # K[n,m] = Σ_q w Dᵀ A D
-        # RHS F[n, s] = -Σ_q w Dc[q,:,n]ᵀ Aq[q] E[:,s]
-        AE = jnp.einsum("qij,js->qis", Aq, self.E)  # (nQ, r, s)
-        F = -jnp.einsum("qin,q,qis->ns", Dc, w, AE)
+        if self.assembly == "dense":
+            K = self._assemble_dense(A_K)
+        else:
+            K = self._assemble_scatter(A_K)
+
+        # RHS F[n, s] = -Σ_e D_eᵀ (Tᵀ Ā_e) E
+        AE = jnp.einsum("ert,ts->ers", A_F, self.E)  # (ne, r, s)
+        F_loc = -jnp.einsum("erl,ers->els", self.Draw, AE)  # (ne, nbl, s)
+        F = jnp.zeros((self.n_reduced, self.s), dtype=Ae.dtype)
+        F = F.at[self.loc2red.reshape(-1)].add(F_loc.reshape(-1, self.s))
 
         # pin translations (constant nullspace)
-        keep = jnp.logical_not(self.pin_mask).astype(self.dtype)
-        K = Kfull * keep[:, None] * keep[None, :] + jnp.diag(
-            self.pin_mask.astype(self.dtype)
+        keep = jnp.logical_not(self.pin_mask).astype(Ae.dtype)
+        K = K * keep[:, None] * keep[None, :] + jnp.diag(
+            self.pin_mask.astype(Ae.dtype)
         )
         F = F * keep[:, None]
 
-        c, low = jax.scipy.linalg.cho_factor(K)
-        X = jax.scipy.linalg.cho_solve((c, low), F)  # (nred, s)
+        X = self._solve_reduced(K, F)  # (nred, s)
 
-        # corrected fields and homogenized tensor
-        Phi = self.E[None, :, :] + jnp.einsum("qrn,ns->qrs", Dc, X)  # (nQ, r, s)
-        APhi = jnp.einsum("qij,qjs->qis", Aq, Phi)
-        # Astar[n_test, m_trial] = (1/|Y|) Σ_q w Φ[:,n]ᵀ A Φ[:,m]
-        Astar = jnp.einsum("qrn,q,qrm->nm", Phi, w, APhi) / self.volume_Y
+        # corrected per-element fields Φ_e = E + T D_e X_loc
+        X_loc = X[self.loc2red]  # (ne, nbl, s)
+        DX = jnp.einsum("erl,els->ers", self.Draw, X_loc)  # (ne, r, s)
+        if T is not None:
+            DX = jnp.einsum("rt,ets->ers", T, DX)
+        Phi = self.E[None, :, :] + DX  # (ne, r, s)
+        # Astar[n_test, m_trial] = (1/|Y|) Σ_e Φ[:,n]ᵀ Ā_e Φ[:,m]
+        Astar = jnp.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / self.volume_Y
         return Astar, X
+
+    def _solve_reduced(self, K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
+        """Solve the pinned SPD reduced system for the s generator RHS.
+
+        'cholesky': exact batched factorization (default at f64 — the parity
+        path).  'pcg': block-CG preconditioned with the explicit inverse of
+        the unit-coefficient operator K₀ (shared across all macro cells) —
+        every operation is a (batched) matmul, which is how this stage rides
+        the MXU; batched Cholesky/triangular solves on TPU are an order of
+        magnitude slower.  PCG convergence is governed by the coefficient
+        contrast of A(c_T, ·) relative to constant, not by the mesh size
+        (spectral equivalence of K₀ and K_c).
+        """
+        if self.solver == "cholesky":
+            c, low = jax.scipy.linalg.cho_factor(K)
+            return jax.scipy.linalg.cho_solve((c, low), F)
+        K0inv = self._get_K0inv()
+        return _block_pcg(K, F, K0inv, self.pcg_tol, self.pcg_maxiter)
+
+    def _get_K0inv(self) -> jnp.ndarray:
+        if self._K0inv is None:
+            # unit-coefficient reduced operator, pinned, inverted once
+            Ae0 = jnp.einsum(
+                "e,rt->ert",
+                jnp.sum(self.wq_dev, axis=1),
+                jnp.eye(self.r, dtype=self.dtype),
+            )
+            T = self._grad_map(None)
+            A_K = Ae0 if T is None else jnp.einsum("mr,emt,tn->ern", T, Ae0, T)
+            K0 = (
+                self._assemble_dense(A_K)
+                if self.assembly == "dense"
+                else self._assemble_scatter(A_K)
+            )
+            keep = jnp.logical_not(self.pin_mask).astype(self.dtype)
+            K0 = K0 * keep[:, None] * keep[None, :] + jnp.diag(
+                self.pin_mask.astype(self.dtype)
+            )
+            # invert in f64 for a high-quality preconditioner, store in dtype
+            K0inv = np.linalg.inv(np.asarray(K0, dtype=np.float64))
+            self._K0inv = jnp.asarray(K0inv, dtype=self.dtype)
+        return self._K0inv
+
+    def _assemble_dense(self, A_K: jnp.ndarray) -> jnp.ndarray:
+        """K = D_flatᵀ (A_K D)_flat — one MXU matmul over (nE·r, nred)."""
+        Z = jnp.einsum("ert,etn->ern", A_K, self.D)  # (ne, r, nred)
+        nE, r, nred = Z.shape
+        return jax.lax.dot_general(
+            self.D.reshape(nE * r, nred),
+            Z.reshape(nE * r, nred),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=A_K.dtype,
+        )
+
+    def _assemble_scatter(self, A_K: jnp.ndarray) -> jnp.ndarray:
+        """Classical FEM assembly: per-element (nbl, nbl) blocks scattered
+        into the dense reduced operator.  O(nE·nbl²) values."""
+        vals = jnp.einsum(
+            "erl,ert,etm->elm", self.Draw, A_K, self.Draw
+        )  # (ne, nbl, nbl)
+        rows = self.loc2red[:, :, None]  # (ne, nbl, 1)
+        cols = self.loc2red[:, None, :]  # (ne, 1, nbl)
+        flat = (rows * self.n_reduced + cols).reshape(-1)
+        K = jnp.zeros(self.n_reduced * self.n_reduced, dtype=A_K.dtype)
+        K = K.at[flat].add(vals.reshape(-1))
+        return K.reshape(self.n_reduced, self.n_reduced)
 
     # -- batched over macro quadrature points --------------------------------
     def tensors_for_centers(
@@ -256,23 +381,57 @@ class MicroEngine:
         chunk = chunk or self._auto_chunk(nc)
 
         def one(x):
-            Aq = self._coeff_at_quad(coeff, x)
+            Ae = self.element_coeff(coeff, x)
             G = None if G_fn is None else jnp.asarray(G_fn(x), dtype=self.dtype)
-            Astar, X = self.cell_tensor(Aq, G)
+            Astar, X = self.cell_tensor(Ae, G)
             return (Astar, X) if with_correctors else Astar
 
         return _map_chunked(one, centers, chunk)
 
     def _auto_chunk(self, nc: int) -> int:
-        # keep the dominant temporaries (K, Dc copies) under ~1 GB
+        # keep the dominant per-cell temporaries (K + element blocks) under ~1 GB
         itemsize = jnp.dtype(self.dtype).itemsize
         per_cell = (
-            self.n_reduced * self.n_reduced
-            + 3 * self.nQ * self.r * max(self.s, self.r)
-            + 2 * self.nQ * self.r * self.n_reduced  # worst case: mapped Dc + Z
+            2 * self.n_reduced * self.n_reduced
+            + 4 * self.nE * self.r * max(self.r, self.nbl)
         ) * itemsize
         budget = 1 << 30
         return int(np.clip(budget // max(per_cell, 1), 1, max(nc, 1)))
+
+
+def _block_pcg(K, F, Minv, tol, maxiter):
+    """Block-CG on one SPD system with s simultaneous RHS, preconditioned by
+    the explicit shared inverse Minv = K₀⁻¹ (columns iterate in lockstep;
+    converged columns are frozen by the 0/0 guards).  All ops are matmuls —
+    under vmap this stage is pure batched GEMM on the MXU."""
+    eps = jnp.asarray(1e-30, dtype=F.dtype)
+    X = Minv @ F
+    R = F - K @ X
+    Z = Minv @ R
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)  # (s,)
+    fnorm = jnp.linalg.norm(F, axis=0) + eps
+
+    def cond(state):
+        X, R, P, rz, k = state
+        rel = jnp.max(jnp.linalg.norm(R, axis=0) / fnorm)
+        return jnp.logical_and(rel > tol, k < maxiter)
+
+    def body(state):
+        X, R, P, rz, k = state
+        KP = K @ P
+        pkp = jnp.sum(P * KP, axis=0)
+        alpha = rz / jnp.where(pkp > 0, pkp, 1.0)
+        X = X + P * alpha[None, :]
+        R = R - KP * alpha[None, :]
+        Z = Minv @ R
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + P * beta[None, :]
+        return X, R, P, rz_new, k + 1
+
+    X, _, _, _, _ = jax.lax.while_loop(cond, body, (X, R, P, rz, jnp.array(0)))
+    return X
 
 
 def _map_chunked(fn, xs, chunk: int):

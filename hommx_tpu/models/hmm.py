@@ -205,6 +205,77 @@ class BaseHMM:
         self._u.solver_residual = float(res)
         return self._u
 
+    def build_pipeline(self, shard_mesh=None):
+        """Return a pure jittable function ``step(centers) -> u`` running the
+        entire HMM solve (micro stage + macro assembly + macro solve).
+
+        This is the TPU-first capability the reference architecture cannot
+        express: the whole solver is one traced program — jit it, grad
+        through it, or shard it.  With ``shard_mesh`` (a 1D
+        ``jax.sharding.Mesh``), the micro stage runs under ``shard_map`` over
+        the macro-cell batch (the TPU-native replacement for the reference's
+        MPI domain decomposition, ``hmm.py:544-551``); the macro solve is
+        replicated (macro systems are small by HMM design).
+
+        Returns: (step_fn, example_centers).  ``centers`` must have static
+        shape (num_cells, dim); with sharding, num_cells must divide evenly.
+        """
+        engine = self._engine
+        sys = self._sys
+        coeff = self._coeff
+        G_fn = self._G_fn()
+        f_fn = self._f_fn
+        bs = self._V_macro.bs
+        rhs_degree = self._quad_degree_rhs
+        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
+        options = self._options_global
+        chunk = self._chunk
+
+        def one_tensor(x):
+            Ae = engine.element_coeff(coeff, x)
+            G = None if G_fn is None else jnp.asarray(G_fn(x), dtype=engine.dtype)
+            return engine.cell_tensor(Ae, G)[0]
+
+        def micro_stage(centers):
+            if shard_mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                shard_map = getattr(jax, "shard_map", None)
+                if shard_map is None:  # pragma: no cover - older jax
+                    from jax.experimental.shard_map import shard_map as _sm
+
+                    shard_map = _sm
+                return shard_map(
+                    jax.vmap(one_tensor),
+                    mesh=shard_mesh,
+                    in_specs=P(shard_mesh.axis_names[0]),
+                    out_specs=P(shard_mesh.axis_names[0]),
+                )(centers)
+            return engine.tensors_for_centers(coeff, centers, G_fn=G_fn, chunk=chunk)
+
+        def step(centers):
+            A_star = micro_stage(centers)
+            A_T = jnp.swapaxes(A_star, -1, -2)
+            if bs == 1:
+                S_loc = jnp.einsum(
+                    "c,cad,cde,cbe->cab", sys.vols, sys.grads, A_T, sys.grads
+                )
+            else:
+                S_loc = jnp.einsum(
+                    "c,cmr,crt,cnt->cmn", sys.vols, sys.strain_P, A_T, sys.strain_P
+                )
+            vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+            b = assemble_load_vector(
+                sys.verts, sys.cells, f_fn, bs=bs, degree=rhs_degree
+            )
+            vals_bc, b_bc = apply_dirichlet(
+                vals, sys.cols, sys.diag_slots, b, mask, bvals
+            )
+            x, _, _ = solve_ell(vals_bc, sys.cols, b_bc, options)
+            return x
+
+        return step, sys.centers
+
     def matrix_dense(self) -> np.ndarray:
         """Assembled (BC-applied) macro matrix as dense numpy — debugging and
         parity gates (replaces ``petsc_helper.petsc_matrix_to_numpy`` on

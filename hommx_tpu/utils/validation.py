@@ -1,0 +1,95 @@
+"""Validation utilities: L² norms/errors, cross-mesh comparison, standard
+boundary conditions, Hooke-tensor builder.
+
+Plays the role of the reference's ``helpers.py`` + the per-test utility
+functions (``test_integration_poisson.py:15-57``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu.ops.assembly import l2_norm_fn
+from hommx_tpu.ops.function_space import (
+    FunctionSpace,
+    boundary_dofs,
+    dirichletbc,
+    locate_dofs_geometrical,
+)
+from hommx_tpu.ops.interpolation import interpolate_nonmatching
+
+__all__ = [
+    "calc_l2_error",
+    "calc_l2_norm",
+    "zero_dirichlet_bcs",
+    "relative_l2_vs_reference",
+    "hooke_tensor",
+]
+
+
+def calc_l2_error(mesh, u1, u2, bs: int = 1) -> float:
+    """L² norm of the difference of two P1 functions on the same mesh."""
+    a1 = u1.array if hasattr(u1, "array") else u1
+    a2 = u2.array if hasattr(u2, "array") else u2
+    return float(
+        l2_norm_fn(jnp.asarray(mesh.vertices), jnp.asarray(mesh.cells), a1 - a2, bs=bs)
+    )
+
+
+def calc_l2_norm(mesh, u, bs: int = 1, exact: Optional[Callable] = None) -> float:
+    """L² norm of a P1 function, or of (u - exact) for a callable exact."""
+    arr = u.array if hasattr(u, "array") else u
+    return float(
+        l2_norm_fn(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.cells), arr, bs=bs, exact=exact
+        )
+    )
+
+
+def zero_dirichlet_bcs(V: FunctionSpace):
+    """Zero Dirichlet BC on the bounding-box boundary (reference
+    ``test_integration_poisson.py:41-57``)."""
+    mesh = V.mesh
+    lo, hi = mesh.bounding_box()
+
+    def marker(x):
+        m = np.zeros(x.shape[1], dtype=bool)
+        for k in range(mesh.dim):
+            m |= np.isclose(x[k], lo[k]) | np.isclose(x[k], hi[k])
+        return m
+
+    dofs = locate_dofs_geometrical(V, marker)
+    val = 0.0 if V.bs == 1 else np.zeros(V.bs)
+    return [dirichletbc(val, dofs, V)]
+
+
+def relative_l2_vs_reference(u_coarse, u_fine) -> float:
+    """Interpolate a fine-mesh solution onto the coarse space and return the
+    relative L² difference (the reference's regression-gate pattern,
+    ``test_integration_poisson.py:289-294``)."""
+    V = u_coarse.space
+    u_ref_i = interpolate_nonmatching(V, u_fine)
+    err = calc_l2_error(V.mesh, u_coarse, u_ref_i, bs=V.bs)
+    nrm = calc_l2_norm(V.mesh, u_ref_i, bs=V.bs)
+    return err / nrm
+
+
+def hooke_tensor(dim: int, mu_fn: Callable, lam_fn: Callable) -> Callable:
+    """Isotropic Hooke tensor A_ijkl = λ δij δkl + μ (δik δjl + δil δjk)
+    with x,y-dependent Lamé callables (the pattern of reference
+    ``test_integration_linear_elasticity.py:84-93``)."""
+
+    def A(x, y):
+        I = jnp.eye(dim)
+        mu = mu_fn(x, y)
+        lam = lam_fn(x, y)
+        return (
+            lam * jnp.einsum("ij,kl->ijkl", I, I)
+            + mu
+            * (jnp.einsum("ik,jl->ijkl", I, I) + jnp.einsum("il,jk->ijkl", I, I))
+        )
+
+    return A

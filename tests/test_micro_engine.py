@@ -1,0 +1,145 @@
+"""Micro engine tests: homogenized tensors against closed-form limits, and
+differentiability (a capability the reference stack lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hommx_tpu import create_unit_cube, create_unit_square
+from hommx_tpu.micro.engine import MicroEngine
+
+from tests.utils import hooke_tensor
+
+
+def test_constant_coefficient_identity():
+    """A ≡ const ⇒ correctors vanish and A* = A exactly (discrete level)."""
+    eng = MicroEngine(create_unit_square(8), bs=1, coeff_kind="scalar")
+    T = eng.tensors_for_centers(lambda x, y: 3.7, jnp.zeros((2, 2)))
+    assert np.allclose(np.asarray(T), 3.7 * np.eye(2), atol=1e-12)
+
+
+def test_laminate_harmonic_arithmetic_mean():
+    """1D-laminate A(y) = 1/(2+cos 2πy₀):
+    A*₀₀ → harmonic mean = 1/2, A*₁₁ → arithmetic mean = 1/√3.
+    (The closed forms behind the reference's analytical test,
+    ``test_integration_poisson.py:121-143``.)"""
+    A = lambda x, y: 1.0 / (2.0 + jnp.cos(2 * jnp.pi * y[0]))
+    errs = []
+    for n in (8, 16, 32):
+        eng = MicroEngine(create_unit_square(n), bs=1, coeff_kind="scalar")
+        T = np.asarray(eng.tensors_for_centers(A, jnp.zeros((1, 2)))[0])
+        errs.append(abs(T[0, 0] - 0.5))
+        # arithmetic-mean entry: only quadrature error of the deg-2 rule
+        assert abs(T[1, 1] - 1 / np.sqrt(3)) < 2e-5
+        assert abs(T[0, 1]) < 1e-10 and abs(T[1, 0]) < 1e-10
+    # O(h²) convergence of the corrector-dependent entry
+    assert errs[2] < errs[0] / 8
+
+
+def test_laminate_3d():
+    A = lambda x, y: 2.0 + jnp.sin(2 * jnp.pi * y[0])
+    eng = MicroEngine(create_unit_cube(8), bs=1, coeff_kind="scalar")
+    T = np.asarray(eng.tensors_for_centers(A, jnp.zeros((1, 3)))[0])
+    # A*₀₀ → sqrt(2²-1) = √3 (harmonic mean), A*₁₁ = A*₂₂ → 2 (arithmetic)
+    assert abs(T[1, 1] - 2.0) < 1e-8
+    assert abs(T[2, 2] - 2.0) < 1e-8
+    assert abs(T[0, 0] - np.sqrt(3.0)) < 2e-2
+    offdiag = T - np.diag(np.diag(T))
+    assert np.abs(offdiag).max() < 1e-9
+
+
+def test_matrix_coefficient():
+    """Matrix-valued A: for constant (possibly anisotropic) A, A* = A."""
+    M = jnp.array([[2.0, 0.3], [0.3, 1.0]])
+    eng = MicroEngine(create_unit_square(6), bs=1, coeff_kind="matrix")
+    T = np.asarray(eng.tensors_for_centers(lambda x, y: M, jnp.zeros((1, 2)))[0])
+    assert np.allclose(T, np.asarray(M), atol=1e-12)
+
+
+def test_constant_hooke_identity():
+    """Constant Hooke tensor ⇒ A* equals the tensor (reference 3D elasticity
+    test idea, ``test_integration_linear_elasticity.py:205-322``)."""
+    A = hooke_tensor(2, lambda x, y: 1.0, lambda x, y: 1.25)
+    eng = MicroEngine(create_unit_square(4), bs=2, coeff_kind="tensor4")
+    T = np.asarray(eng.tensors_for_centers(A, jnp.zeros((1, 2)))[0])
+    expect = np.asarray(A(None, None)).reshape(4, 4)
+    assert np.allclose(T, expect, atol=1e-10)
+
+
+def test_x_dependence_batched():
+    """A(x, y) with slow variable: batched centers give per-cell tensors."""
+    A = lambda x, y: 1.1 + x[0]
+    eng = MicroEngine(create_unit_square(4), bs=1, coeff_kind="scalar")
+    centers = jnp.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.5]])
+    T = np.asarray(eng.tensors_for_centers(A, centers))
+    for i, x0 in enumerate([0.0, 1.0, 2.0]):
+        assert np.allclose(T[i], (1.1 + x0) * np.eye(2), atol=1e-11)
+
+
+def test_differentiable_homogenization():
+    """grad of A* w.r.t. a coefficient parameter — end-to-end differentiable
+    homogenization (not possible in the reference's PETSc pipeline)."""
+    eng = MicroEngine(create_unit_square(8), bs=1, coeff_kind="scalar")
+
+    def astar00(theta):
+        A = lambda x, y: 1.0 / (2.0 + theta * jnp.cos(2 * jnp.pi * y[0]))
+        return eng.tensors_for_centers(A, jnp.zeros((1, 2)))[0, 0, 0]
+
+    g = jax.grad(astar00)(1.0)
+    # finite-difference check
+    h = 1e-5
+    fd = (astar00(1.0 + h) - astar00(1.0 - h)) / (2 * h)
+    assert np.isclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_stratified_identity_map_matches_plain():
+    """G = I must reproduce the non-stratified tensors exactly."""
+    A = lambda x, y: 1.0 / (2.0 + jnp.cos(2 * jnp.pi * y[0]))
+    eng = MicroEngine(create_unit_square(8), bs=1, coeff_kind="scalar")
+    T0 = eng.tensors_for_centers(A, jnp.zeros((1, 2)))
+    T1 = eng.tensors_for_centers(
+        A, jnp.zeros((1, 2)), G_fn=lambda x: jnp.eye(2)
+    )
+    assert np.allclose(np.asarray(T0), np.asarray(T1), atol=1e-12)
+
+
+def test_stratified_laminate_closed_form():
+    """Deformed two-phase laminate (the wavy-laminate example coefficient):
+    A* must match the closed form a_arith·I + (a_harm − a_arith)·n̂n̂ᵀ with
+    n = ∇θ₀ — validates the stratified gradient mapping end-to-end."""
+    A = lambda x, y: jnp.where(jnp.cos(2 * jnp.pi * y[0]) < 0, 5.0, 0.05)
+
+    def Dtheta(x):
+        return jnp.array(
+            [[-2 * jnp.pi * jnp.cos(2 * jnp.pi * x[0]), 1.0], [1.0, 0.0]]
+        )
+
+    eng = MicroEngine(create_unit_square(30), bs=1, coeff_kind="scalar")
+    x0 = 0.1
+    T = np.asarray(
+        eng.tensors_for_centers(A, jnp.array([[x0, 0.0]]), G_fn=Dtheta)[0]
+    )
+    n = np.array([-2 * np.pi * np.cos(2 * np.pi * x0), 1.0])
+    nh = n / np.linalg.norm(n)
+    aa = 0.5 * (5.0 + 0.05)
+    ah = 1.0 / (0.5 * (1 / 5.0 + 1 / 0.05))
+    expect = aa * np.eye(2) + (ah - aa) * np.outer(nh, nh)
+    # sharp interface on a 30x30 micro mesh: O(h) accuracy
+    assert np.abs(T - expect).max() < 2e-2, (T, expect)
+
+
+def test_stratified_rotation_rotates_tensor():
+    """For a constant rotation G = R the stratified tensor is exactly the
+    conjugation A*_strat = R A*_plain Rᵀ (discrete-level identity: the
+    stratified correctors are linear combinations of the plain ones)."""
+    A = lambda x, y: 1.0 / (2.0 + jnp.cos(2 * jnp.pi * y[0]))
+    c, s = np.cos(0.3), np.sin(0.3)
+    R = jnp.array([[c, -s], [s, c]])
+    eng = MicroEngine(create_unit_square(16), bs=1, coeff_kind="scalar")
+    T0 = np.asarray(eng.tensors_for_centers(A, jnp.zeros((1, 2)))[0])
+    T1 = np.asarray(
+        eng.tensors_for_centers(A, jnp.zeros((1, 2)), G_fn=lambda x: R)[0]
+    )
+    Rn = np.asarray(R)
+    assert np.allclose(T1, Rn @ T0 @ Rn.T, atol=1e-10)
