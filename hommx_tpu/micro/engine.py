@@ -98,7 +98,7 @@ class MicroEngine:
         dtype=None,
         assembly: str = "auto",
         solver: str = "auto",
-        pcg_tol: float = 1e-8,
+        pcg_tol: Optional[float] = None,
         pcg_maxiter: int = 200,
     ):
         self.mesh = micro_mesh
@@ -124,6 +124,15 @@ class MicroEngine:
             # while the K₀⁻¹-preconditioned block-CG is all matmuls.
             solver = "pcg" if jnp.dtype(self.dtype) == jnp.float32 else "cholesky"
         self.solver = solver
+        # PCG strategy: batched dense-K (Gram-matmul assembly + batched
+        # K·p) wins for small reduced spaces; the chunk-level matrix-free
+        # path wins asymptotically (no O(n²) K per cell).
+        self.pcg_strategy = "densek" if self.n_reduced <= 512 else "matfree"
+        if pcg_tol is None:
+            # f32 residuals stall near 1e-6 relative — a tighter default
+            # would drive every cell to maxiter (lockstep while_loop under
+            # vmap runs until the *last* cell converges).
+            pcg_tol = 1e-5 if jnp.dtype(self.dtype) == jnp.float32 else 1e-11
         self.pcg_tol = float(pcg_tol)
         self.pcg_maxiter = int(pcg_maxiter)
         self._K0inv = None
@@ -171,8 +180,10 @@ class MicroEngine:
         self.loc2red = jnp.asarray(loc2red)
 
         nred = self.n_reduced
-        if self.assembly == "dense":
-            # dense reduced gradient operator D: (ne, r, nred)
+        # The dense reduced gradient operator D (ne, r, nred) is *shared*
+        # across all macro cells, so it can afford to be much larger than a
+        # per-cell dense K — build it whenever it fits comfortably.
+        if ne * self.r * nred <= 5e7:
             D = np.zeros((ne, self.r, nred), dtype=np.float64)
             e_idx = np.arange(ne)[:, None, None]
             r_idx = np.arange(self.r)[None, :, None]
@@ -180,6 +191,8 @@ class MicroEngine:
             self.D = jnp.asarray(D, dtype=self.dtype)
         else:
             self.D = None
+        if self.assembly == "dense" and self.D is None:
+            raise ValueError("dense assembly requested but operator too large")
 
         # generator fields E: (r, s)
         if bs == 1:
@@ -263,11 +276,6 @@ class MicroEngine:
             A_K = jnp.einsum("mr,emt,tn->ern", T, Ae, T)
             A_F = jnp.einsum("mr,emt->ert", T, Ae)
 
-        if self.assembly == "dense":
-            K = self._assemble_dense(A_K)
-        else:
-            K = self._assemble_scatter(A_K)
-
         # RHS F[n, s] = -Σ_e D_eᵀ (Tᵀ Ā_e) E
         AE = jnp.einsum("ert,ts->ers", A_F, self.E)  # (ne, r, s)
         F_loc = -jnp.einsum("erl,ers->els", self.Draw, AE)  # (ne, nbl, s)
@@ -276,12 +284,52 @@ class MicroEngine:
 
         # pin translations (constant nullspace)
         keep = jnp.logical_not(self.pin_mask).astype(Ae.dtype)
-        K = K * keep[:, None] * keep[None, :] + jnp.diag(
-            self.pin_mask.astype(Ae.dtype)
-        )
+        pinf = self.pin_mask.astype(Ae.dtype)
         F = F * keep[:, None]
 
-        X = self._solve_reduced(K, F)  # (nred, s)
+        if self.solver == "cholesky" or self.pcg_strategy == "densek":
+            K = (
+                self._assemble_dense(A_K)
+                if self.assembly == "dense"
+                else self._assemble_scatter(A_K)
+            )
+            K = K * keep[:, None] * keep[None, :] + jnp.diag(pinf)
+            if self.solver == "cholesky":
+                c, low = jax.scipy.linalg.cho_factor(K)
+                X = jax.scipy.linalg.cho_solve((c, low), F)
+            else:
+                X = _block_pcg_matfree(
+                    lambda p: K @ p, F, self._get_K0inv(), self.pcg_tol,
+                    self.pcg_maxiter,
+                )
+        else:
+            # Matrix-free PCG: K is never materialized.  K·p is applied as
+            # D̃ᵀ (Ā ∘ (D̃ p)) with the *shared* gradient operator D̃ — under
+            # vmap over macro cells this turns every PCG step into one
+            # shared-operand matmul with (cells × s) columns, i.e. pure MXU
+            # work with per-cell memory traffic of O(nE·r²) (the coefficient
+            # blocks) instead of O(n_red²) (the assembled K).
+            def matvec(p):
+                pk = p * keep[:, None]
+                if self.D is not None:
+                    Dp = jnp.einsum("ern,ns->ers", self.D, pk)
+                    w = jnp.einsum("ert,ets->ers", A_K, Dp)
+                    Kp = jnp.einsum("ern,ers->ns", self.D, w)
+                else:
+                    p_loc = pk[self.loc2red]  # (ne, nbl, s)
+                    Dp = jnp.einsum("erl,els->ers", self.Draw, p_loc)
+                    w = jnp.einsum("ert,ets->ers", A_K, Dp)
+                    wl = jnp.einsum("erl,ers->els", self.Draw, w)
+                    Kp = (
+                        jnp.zeros_like(p)
+                        .at[self.loc2red.reshape(-1)]
+                        .add(wl.reshape(-1, self.s))
+                    )
+                return Kp * keep[:, None] + pinf[:, None] * p
+
+            X = _block_pcg_matfree(
+                matvec, F, self._get_K0inv(), self.pcg_tol, self.pcg_maxiter
+            )
 
         # corrected per-element fields Φ_e = E + T D_e X_loc
         X_loc = X[self.loc2red]  # (ne, nbl, s)
@@ -292,24 +340,6 @@ class MicroEngine:
         # Astar[n_test, m_trial] = (1/|Y|) Σ_e Φ[:,n]ᵀ Ā_e Φ[:,m]
         Astar = jnp.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / self.volume_Y
         return Astar, X
-
-    def _solve_reduced(self, K: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
-        """Solve the pinned SPD reduced system for the s generator RHS.
-
-        'cholesky': exact batched factorization (default at f64 — the parity
-        path).  'pcg': block-CG preconditioned with the explicit inverse of
-        the unit-coefficient operator K₀ (shared across all macro cells) —
-        every operation is a (batched) matmul, which is how this stage rides
-        the MXU; batched Cholesky/triangular solves on TPU are an order of
-        magnitude slower.  PCG convergence is governed by the coefficient
-        contrast of A(c_T, ·) relative to constant, not by the mesh size
-        (spectral equivalence of K₀ and K_c).
-        """
-        if self.solver == "cholesky":
-            c, low = jax.scipy.linalg.cho_factor(K)
-            return jax.scipy.linalg.cho_solve((c, low), F)
-        K0inv = self._get_K0inv()
-        return _block_pcg(K, F, K0inv, self.pcg_tol, self.pcg_maxiter)
 
     def _get_K0inv(self) -> jnp.ndarray:
         if self._K0inv is None:
@@ -359,6 +389,122 @@ class MicroEngine:
         K = K.at[flat].add(vals.reshape(-1))
         return K.reshape(self.n_reduced, self.n_reduced)
 
+    # -- chunk-level PCG path (the TPU fast path) ----------------------------
+    def _raw_coeff(self, coeff: Callable, x_center: jnp.ndarray) -> jnp.ndarray:
+        """Per-element reduced coefficient in compact form: (nE,) for scalar
+        coefficients, (nE, r, r) canonical blocks otherwise."""
+        d = self.d
+
+        def at_point(y):
+            return jnp.asarray(coeff(x_center, y), dtype=self.dtype)
+
+        vals = jax.vmap(jax.vmap(at_point))(self.yq_dev)
+        if self.coeff_kind == "scalar":
+            return jnp.einsum("eq,eq->e", self.wq_dev, vals.reshape(self.nE, self.nq))
+        if self.coeff_kind == "matrix":
+            return jnp.einsum(
+                "eq,eqij->eij", self.wq_dev, vals.reshape(self.nE, self.nq, d, d)
+            )
+        return jnp.einsum(
+            "eq,eqrt->ert",
+            self.wq_dev,
+            vals.reshape(self.nE, self.nq, d * d, d * d),
+        )
+
+    def tensors_chunk_pcg(self, coeff, centers, G_fn=None):
+        """A*(c_T) for one chunk of centers — the TPU fast path.
+
+        Layout-conscious chunk-level block-PCG: all cells' generator RHS are
+        flattened into one column axis, so every Krylov operation is a
+        *shared-operand* matmul ``(nE·r, n) @ (n, C·s)`` (MXU-shaped — a
+        per-cell formulation would run d-column-skinny matmuls at ~1% lane
+        utilization).  K is never materialized; per-iteration memory traffic
+        is O(C·nE) coefficient scalars instead of O(C·n²) assembled entries.
+        """
+        C = centers.shape[0]
+        nE, r, s, n = self.nE, self.r, self.s, self.n_reduced
+        raw = jax.vmap(lambda x: self._raw_coeff(coeff, x))(centers)
+        G = (
+            None
+            if G_fn is None
+            else jax.vmap(lambda x: jnp.asarray(G_fn(x), dtype=self.dtype))(centers)
+        )
+        D2 = self.D.reshape(nE * r, n)
+        keep = jnp.logical_not(self.pin_mask).astype(self.dtype)[:, None, None]
+        pinf = self.pin_mask.astype(self.dtype)[:, None, None]
+
+        # Axis conventions: gradient fields (nE, r, C, s); per-cell maps
+        # (C, r, r); scalar coefficient reductions a (C, nE).
+        scalar_sep = self.coeff_kind == "scalar"
+        if scalar_sep:
+            a = raw  # (C, nE); canonical Ā_e = a[c,e]·I — kept separable
+            a_w = a.T[:, None, :, None]  # (nE, 1, C, 1) broadcast weight
+            B_K = None if G is None else jnp.einsum("cmr,cmt->crt", G, G)  # GᵀG
+            B_F = None if G is None else jnp.swapaxes(G, 1, 2)  # Gᵀ
+            B_Phi = G  # field map T = G (None → identity)
+        else:
+            Ae_blocks = raw  # (C, nE, r, r) canonical
+            if self.bs == self.d:
+                T = (
+                    jnp.broadcast_to(self._eye_sym, (C, r, r))
+                    if G is None
+                    else jax.vmap(_sym_map)(G)
+                )
+            else:  # matrix coefficient, scalar problem
+                T = G
+            if T is None:
+                A_K, A_F, B_Phi = Ae_blocks, Ae_blocks, None
+            else:
+                A_K = jnp.einsum("cmr,cemt,ctn->cern", T, Ae_blocks, T)
+                A_F = jnp.einsum("cmr,cemt->cert", T, Ae_blocks)
+                B_Phi = T
+
+        def expand(cols):  # (n, C, s) -> (nE, r, C, s) gradient fields
+            return (D2 @ cols.reshape(n, C * s)).reshape(nE, r, C, s)
+
+        def reduce_(fields):  # (nE, r, C, s) -> (n, C, s)
+            return (D2.T @ fields.reshape(nE * r, C * s)).reshape(n, C, s)
+
+        def apply_map(B, fields):  # per-cell (r,r) block on gradient fields
+            return fields if B is None else jnp.einsum("crt,etcs->ercs", B, fields)
+
+        def apply_AK(Dp):  # weight gradient fields by the K-side coefficient
+            if scalar_sep:
+                return apply_map(B_K, Dp) * a_w
+            return jnp.einsum("cert,etcs->ercs", A_K, Dp)
+
+        def matvec(P):
+            Pk = P * keep
+            Kp = reduce_(apply_AK(expand(Pk)))
+            return Kp * keep + pinf * P
+
+        # RHS: F = -Σ_e D_eᵀ (Tᵀ Ā_e) E
+        E = self.E  # (r, s)
+        if scalar_sep:
+            # AE[e, r, c, s] = a[c, e] · (Gᵀ E)[c, r, s]
+            GE = E[None] if B_F is None else jnp.einsum("crt,ts->crs", B_F, E)
+            AE = a_w * jnp.moveaxis(jnp.broadcast_to(GE, (C, r, s)), 0, 1)[None]
+        else:
+            AE = jnp.einsum("cert,ts->ercs", A_F, E)
+        F = -reduce_(AE) * keep
+
+        Minv = self._get_K0inv()
+
+        def prec(R):
+            return (Minv @ R.reshape(n, C * s)).reshape(n, C, s)
+
+        X = _chunk_pcg(matvec, prec, F, self.pcg_tol, self.pcg_maxiter)
+
+        # corrected fields Φ = E + T·(D X) and A* = (1/|Y|) Φᵀ Ā Φ
+        TDX = apply_map(B_Phi, expand(X))  # (nE, r, C, s)
+        Phi = E[None, :, None, :] + TDX
+        if scalar_sep:
+            APhi = Phi * a_w
+        else:
+            APhi = jnp.einsum("cert,etcs->ercs", Ae_blocks, Phi)
+        Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
+        return Astar
+
     # -- batched over macro quadrature points --------------------------------
     def tensors_for_centers(
         self,
@@ -380,6 +526,19 @@ class MicroEngine:
         nc = centers.shape[0]
         chunk = chunk or self._auto_chunk(nc)
 
+        if (
+            self.solver == "pcg"
+            and self.pcg_strategy == "matfree"
+            and self.D is not None
+            and not with_correctors
+        ):
+            return _map_chunked(
+                lambda cs: self.tensors_chunk_pcg(coeff, cs, G_fn),
+                centers,
+                chunk,
+                chunk_fn=True,
+            )
+
         def one(x):
             Ae = self.element_coeff(coeff, x)
             G = None if G_fn is None else jnp.asarray(G_fn(x), dtype=self.dtype)
@@ -399,14 +558,19 @@ class MicroEngine:
         return int(np.clip(budget // max(per_cell, 1), 1, max(nc, 1)))
 
 
-def _block_pcg(K, F, Minv, tol, maxiter):
-    """Block-CG on one SPD system with s simultaneous RHS, preconditioned by
-    the explicit shared inverse Minv = K₀⁻¹ (columns iterate in lockstep;
-    converged columns are frozen by the 0/0 guards).  All ops are matmuls —
-    under vmap this stage is pure batched GEMM on the MXU."""
+def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
+    """Block-CG with s simultaneous RHS on one SPD system given as a matvec,
+    preconditioned by the explicit shared inverse Minv = K₀⁻¹ (columns
+    iterate in lockstep; converged columns are frozen by the 0/0 guards).
+
+    Spectral equivalence of K₀ (unit coefficient) and K_c makes the iteration
+    count depend on the coefficient *contrast* of A(c_T, ·), not on the micro
+    mesh resolution.  Under vmap over macro cells every operation is a
+    shared-operand matmul — pure MXU work.
+    """
     eps = jnp.asarray(1e-30, dtype=F.dtype)
     X = Minv @ F
-    R = F - K @ X
+    R = F - matvec(X)
     Z = Minv @ R
     P = Z
     rz = jnp.sum(R * Z, axis=0)  # (s,)
@@ -419,7 +583,7 @@ def _block_pcg(K, F, Minv, tol, maxiter):
 
     def body(state):
         X, R, P, rz, k = state
-        KP = K @ P
+        KP = matvec(P)
         pkp = jnp.sum(P * KP, axis=0)
         alpha = rz / jnp.where(pkp > 0, pkp, 1.0)
         X = X + P * alpha[None, :]
@@ -434,14 +598,53 @@ def _block_pcg(K, F, Minv, tol, maxiter):
     return X
 
 
-def _map_chunked(fn, xs, chunk: int):
-    """vmap(fn) over xs in chunks via lax.map (bounds peak memory)."""
+def _chunk_pcg(matvec, prec, F, tol, maxiter):
+    """Block-CG over a whole chunk: work arrays (n, C, s), per-(cell, rhs)
+    step sizes in lockstep; converged columns are frozen by the 0/0 guards.
+    The iteration stops when the worst column's relative residual is below
+    tol (or at maxiter)."""
+    eps = jnp.asarray(1e-30, dtype=F.dtype)
+    X = prec(F)
+    R = F - matvec(X)
+    Z = prec(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)  # (C, s)
+    fnorm = jnp.sqrt(jnp.sum(F * F, axis=0)) + eps
+
+    def cond(state):
+        X, R, P, rz, k = state
+        rel = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)) / fnorm)
+        return jnp.logical_and(rel > tol, k < maxiter)
+
+    def body(state):
+        X, R, P, rz, k = state
+        KP = matvec(P)
+        pkp = jnp.sum(P * KP, axis=0)
+        alpha = rz / jnp.where(pkp > 0, pkp, 1.0)
+        X = X + P * alpha[None]
+        R = R - KP * alpha[None]
+        Z = prec(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + P * beta[None]
+        return X, R, P, rz_new, k + 1
+
+    X, _, _, _, _ = jax.lax.while_loop(cond, body, (X, R, P, rz, jnp.array(0)))
+    return X
+
+
+def _map_chunked(fn, xs, chunk: int, chunk_fn: bool = False):
+    """Apply fn over xs in chunks via lax.map (bounds peak memory).
+
+    chunk_fn=False: fn maps one element (vmapped per chunk).
+    chunk_fn=True:  fn maps a whole chunk at once (chunk-level kernels).
+    """
     n = xs.shape[0]
     chunk = max(1, min(chunk, n))
     n_pad = (-n) % chunk
     xs_p = jnp.concatenate([xs, jnp.repeat(xs[:1], n_pad, axis=0)], axis=0)
     xs_c = xs_p.reshape((n + n_pad) // chunk, chunk, *xs.shape[1:])
-    out = jax.lax.map(jax.vmap(fn), xs_c)
+    out = jax.lax.map(fn if chunk_fn else jax.vmap(fn), xs_c)
     return jax.tree_util.tree_map(
         lambda o: o.reshape(-1, *o.shape[2:])[:n], out
     )
