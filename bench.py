@@ -39,7 +39,6 @@ def main():
 
     n_cells = 32768
     rng = np.random.default_rng(0)
-    centers = jnp.asarray(rng.uniform(0, 1, size=(n_cells, 2)), dtype=dtype)
 
     def coeff(x, y):
         return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
@@ -50,13 +49,23 @@ def main():
     def run(c):
         return engine.tensors_for_centers(coeff, c, chunk=chunk)
 
-    # compile + warm up
-    out = jax.block_until_ready(run(centers))
-    t0 = time.perf_counter()
+    # compile + warm up; fresh inputs per rep (defends against any
+    # result-memoization in the runtime tunnel)
     reps = 3 if on_tpu else 1
-    for _ in range(reps):
-        out = jax.block_until_ready(run(centers))
+    batches = [
+        jnp.asarray(rng.uniform(0, 1, size=(n_cells, 2)), dtype=dtype)
+        for _ in range(reps + 1)
+    ]
+    # NOTE: sync via a host readback (float(sum)) — on the axon TPU tunnel
+    # jax.block_until_ready can return before execution finishes, which
+    # would make the timings fiction.
+    _ = float(jnp.sum(run(batches[0])))
+    t0 = time.perf_counter()
+    checksums = []
+    for i in range(reps):
+        checksums.append(float(jnp.sum(run(batches[i + 1]))))
     dt = (time.perf_counter() - t0) / reps
+    assert len(set(checksums)) == reps, "reps produced identical results"
 
     nrhs = engine.s  # d generator correctors per cell
     solves_per_sec = n_cells * nrhs / dt

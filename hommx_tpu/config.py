@@ -36,6 +36,20 @@ if (
 ):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: TPU compiles of the larger pipelines take
+# tens of seconds through the remote compiler; cache them across processes.
+if os.environ.get("HOMMX_TPU_COMPCACHE", "1") != "0":
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/hommx_tpu_jax"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 
 def x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)
@@ -56,3 +70,19 @@ def default_dtype() -> jnp.dtype:
 
 def index_dtype() -> jnp.dtype:
     return jnp.int32
+
+
+def host_setup():
+    """Context manager pinning eager setup computation to the CPU backend.
+
+    On the axon TPU backend every eager op pays a multi-second remote
+    compile + ~25ms dispatch; one-time setup math (element geometry, operator
+    construction, K₀ inversion) belongs on the host.  Device transfer happens
+    automatically when the arrays are consumed by a TPU-jitted program.
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:  # pragma: no cover - CPU backend always exists
+        return contextlib.nullcontext()

@@ -140,6 +140,12 @@ class MicroEngine:
 
     # -- static operator construction (host, once) --------------------------
     def _build_operators(self):
+        from hommx_tpu.config import host_setup
+
+        with host_setup():  # eager setup math stays off the TPU (config.py)
+            self._build_operators_impl()
+
+    def _build_operators_impl(self):
         mesh, d, bs = self.mesh, self.d, self.bs
         verts = jnp.asarray(mesh.vertices, dtype=self.dtype)
         cells = jnp.asarray(mesh.cells)

@@ -22,10 +22,17 @@ __all__ = [
 
 
 def probe_coeff_kind(coeff: Callable, dim: int, nargs: int = 2) -> str:
-    """Classify A(x, y) (or A(y)) output: 'scalar' | 'matrix' | 'tensor4'."""
-    x = jnp.zeros((dim,))
-    args = (x, x)[:nargs]
-    shape = jnp.shape(jnp.asarray(coeff(*args)))
+    """Classify A(x, y) (or A(y)) output: 'scalar' | 'matrix' | 'tensor4'.
+
+    Uses eval_shape — no device execution (coefficients may be expensive and
+    eager execution on the TPU backend is slow)."""
+    spec = jax.ShapeDtypeStruct((dim,), jnp.float32)
+    try:
+        out = jax.eval_shape(lambda *a: jnp.asarray(coeff(*a)), *([spec] * nargs))
+        shape = out.shape
+    except Exception:
+        x = jnp.zeros((dim,))
+        shape = jnp.shape(jnp.asarray(coeff(*((x, x)[:nargs]))))
     if shape == ():
         return "scalar"
     if shape == (dim, dim):
@@ -71,18 +78,25 @@ class MacroSystem:
     """Static assembly data for the macro FEM system on a function space."""
 
     def __init__(self, V: FunctionSpace, dtype):
+        from hommx_tpu.config import host_setup
+        from hommx_tpu.ops.dia import build_dia_from_ell
+
         self.V = V
         self.dtype = dtype
         self.cell_dofs = V.cell_dofs_unrolled()
         self.pattern = build_ell_pattern(self.cell_dofs, V.num_dofs)
-        self.slots = jnp.asarray(self.pattern.slots)
-        self.cols = jnp.asarray(self.pattern.cols)
-        self.diag_slots = jnp.asarray(self.pattern.diag_slots)
-        self.verts = jnp.asarray(V.mesh.vertices, dtype=dtype)
-        self.cells = jnp.asarray(V.mesh.cells)
-        grads, vols = cell_geometry(self.verts, self.cells)
-        self.grads = grads  # (nc, d+1, d)
-        self.vols = vols  # (nc,)
-        self.centers = jnp.mean(self.verts[self.cells], axis=1)  # (nc, d) c_T
-        if V.bs > 1:
-            self.strain_P = strain_coefficients(grads, V.bs)  # (nc, nb, d²)
+        # DIA view of the sparsity (structured meshes): turns the CG SpMV
+        # into static shifted multiply-adds — ~20x faster than gather on TPU
+        self.dia = build_dia_from_ell(self.pattern)
+        with host_setup():  # eager setup math stays off the TPU (config.py)
+            self.slots = jnp.asarray(self.pattern.slots)
+            self.cols = jnp.asarray(self.pattern.cols)
+            self.diag_slots = jnp.asarray(self.pattern.diag_slots)
+            self.verts = jnp.asarray(V.mesh.vertices, dtype=dtype)
+            self.cells = jnp.asarray(V.mesh.cells)
+            grads, vols = cell_geometry(self.verts, self.cells)
+            self.grads = grads  # (nc, d+1, d)
+            self.vols = vols  # (nc,)
+            self.centers = jnp.mean(self.verts[self.cells], axis=1)  # c_T
+            if V.bs > 1:
+                self.strain_P = strain_coefficients(grads, V.bs)  # (nc, nb, d²)

@@ -70,16 +70,36 @@ def fem_solve(
     dtype=None,
 ) -> Function:
     """Solve ∫ A ∇u·∇v = ∫ f v (or the elasticity analogue) with Dirichlet BCs."""
+    import jax
+
     dtype = dtype or default_dtype()
     options = SolverOptions.from_any(options)
     kind = probe_coeff_kind(coeff, V.mesh.dim, nargs=1)
     sys = MacroSystem(V, dtype)
-    vals = fem_assemble_values(sys, coeff, kind, quad_degree)
     f_fn = _as_source(f, V.bs)
-    b = assemble_load_vector(sys.verts, sys.cells, f_fn, bs=V.bs, degree=rhs_degree)
     mask, bvals = merge_bcs(bcs, V.num_dofs, dtype)
-    vals_bc, b_bc = apply_dirichlet(vals, sys.cols, sys.diag_slots, b, mask, bvals)
-    x, iters, res = solve_ell(vals_bc, sys.cols, b_bc, options)
+
+    # Two jitted stages, not one: on TPU eager dispatch costs ~25ms/op so
+    # everything must be traced, BUT composing the scatter-assembly and the
+    # CG while-loop into one XLA module triggers a pathologically slow
+    # (~8 min) compile on the TPU backend; split, each stage compiles in
+    # seconds and the extra dispatch is negligible.
+    @jax.jit
+    def run_assemble(mask, bvals):
+        vals = fem_assemble_values(sys, coeff, kind, quad_degree)
+        b = assemble_load_vector(
+            sys.verts, sys.cells, f_fn, bs=V.bs, degree=rhs_degree
+        )
+        return apply_dirichlet(
+            vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+        )
+
+    @jax.jit
+    def run_solve(vals_bc, b_bc):
+        return solve_ell(vals_bc, sys.cols, b_bc, options, dia=sys.dia)
+
+    vals_bc, b_bc = run_assemble(mask, bvals)
+    x, iters, res = run_solve(vals_bc, b_bc)
     fn = Function(V, x)
     fn.solver_iterations = int(iters)
     fn.solver_residual = float(res)

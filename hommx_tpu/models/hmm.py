@@ -132,6 +132,8 @@ class BaseHMM:
         self._last_vals_bc = None
         self._needs_reassembly = True
         self._u: Optional[Function] = None
+        self._macro_jit = None
+        self._tensor_jit = None
 
     # -- subclass hooks ------------------------------------------------------
     def _block_size(self) -> int:
@@ -159,14 +161,18 @@ class BaseHMM:
         reference quirk noted in SURVEY §2.5, ``f`` receives a real point x).
         """
         self._f_fn = _as_source(f, self._V_macro.bs)
+        self._macro_jit = None  # f is traced into the macro pipeline
 
     def homogenized_tensors(self) -> jnp.ndarray:
         """A*(c_T) per macro cell, (nc, s, s) — the micro stage output."""
         if self._A_star is None:
-            self._A_star = self._engine.tensors_for_centers(
-                self._coeff, self._sys.centers, G_fn=self._G_fn(), chunk=self._chunk
-            )
-            self._A_star = jax.block_until_ready(self._A_star)
+            if self._tensor_jit is None:
+                self._tensor_jit = jax.jit(
+                    lambda centers: self._engine.tensors_for_centers(
+                        self._coeff, centers, G_fn=self._G_fn(), chunk=self._chunk
+                    )
+                )
+            self._A_star = jax.block_until_ready(self._tensor_jit(self._sys.centers))
         return self._A_star
 
     def local_stiffness(self) -> jnp.ndarray:
@@ -182,9 +188,47 @@ class BaseHMM:
         )
 
     def solve(self) -> Function:
-        """Assemble the HMM system and solve (reference ``hmm.py:434-491``)."""
+        """Assemble the HMM system and solve (reference ``hmm.py:434-491``).
+
+        The macro stage runs as ONE jitted program (critical on TPU, where
+        eager dispatch through the runtime tunnel costs ~25 ms/op); the
+        micro-stage output A*(c_T) is cached across solves so BC/rhs sweeps
+        only re-run the macro stage (the reference's ``_needs_reassembly``
+        optimization, ``hmm.py:300-301``, strengthened: BC changes never
+        re-trigger the cell problems here).
+        """
         sys = self._sys
-        S_loc = self.local_stiffness()
+        A_star = self.homogenized_tensors()
+        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
+        if self._macro_jit is None:
+            # Two stages: composing scatter-assembly with the CG while-loop
+            # in one XLA module compiles pathologically slowly on TPU.
+            self._macro_jit = (
+                jax.jit(self._macro_assemble),
+                jax.jit(self._macro_solve),
+            )
+        asm, slv = self._macro_jit
+        vals_bc, b_bc = asm(A_star, mask, bvals)
+        x, iters, res = slv(vals_bc, b_bc)
+        self._last_vals_bc = jax.block_until_ready(vals_bc)
+        self._needs_reassembly = False
+        self._u = Function(self._V_macro, x)
+        self._u.solver_iterations = int(iters)
+        self._u.solver_residual = float(res)
+        return self._u
+
+    def _macro_assemble(self, A_star, mask, bvals):
+        """Pure macro assembly: A* batch → BC-applied system."""
+        sys = self._sys
+        A_T = jnp.swapaxes(A_star, -1, -2)  # reference index order, see engine
+        if self._V_macro.bs == 1:
+            S_loc = jnp.einsum(
+                "c,cad,cde,cbe->cab", sys.vols, sys.grads, A_T, sys.grads
+            )
+        else:
+            S_loc = jnp.einsum(
+                "c,cmr,crt,cnt->cmn", sys.vols, sys.strain_P, A_T, sys.strain_P
+            )
         vals = assemble_ell(sys.pattern, S_loc, sys.slots)
         b = assemble_load_vector(
             sys.verts,
@@ -193,17 +237,13 @@ class BaseHMM:
             bs=self._V_macro.bs,
             degree=self._quad_degree_rhs,
         )
-        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
-        vals_bc, b_bc = apply_dirichlet(
-            vals, sys.cols, sys.diag_slots, b, mask, bvals
+        return apply_dirichlet(
+            vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
-        self._last_vals_bc = vals_bc
-        x, iters, res = solve_ell(vals_bc, sys.cols, b_bc, self._options_global)
-        self._needs_reassembly = False
-        self._u = Function(self._V_macro, x)
-        self._u.solver_iterations = int(iters)
-        self._u.solver_residual = float(res)
-        return self._u
+
+    def _macro_solve(self, vals_bc, b_bc):
+        sys = self._sys
+        return solve_ell(vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia)
 
     def build_pipeline(self, shard_mesh=None):
         """Return a pure jittable function ``step(centers) -> u`` running the
@@ -269,9 +309,9 @@ class BaseHMM:
                 sys.verts, sys.cells, f_fn, bs=bs, degree=rhs_degree
             )
             vals_bc, b_bc = apply_dirichlet(
-                vals, sys.cols, sys.diag_slots, b, mask, bvals
+                vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
             )
-            x, _, _ = solve_ell(vals_bc, sys.cols, b_bc, options)
+            x, _, _ = solve_ell(vals_bc, sys.cols, b_bc, options, dia=sys.dia)
             return x
 
         return step, sys.centers

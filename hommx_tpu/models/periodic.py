@@ -148,16 +148,30 @@ class BasePeriodicHMM:
         if self._sys is None:
             self._sys = MacroSystem(self._V_macro, self._dtype)
         sys = self._sys
-        S_loc = self._macro_local_matrices(sys)
-        vals = assemble_ell(sys.pattern, S_loc, sys.slots)
-        b = assemble_load_vector(
-            sys.verts, sys.cells, self._f_fn,
-            bs=self._V_macro.bs, degree=self._quad_degree_rhs,
-        )
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
-        vals_bc, b_bc = apply_dirichlet(vals, sys.cols, sys.diag_slots, b, mask, bvals)
+
+        # two jitted stages (see models/fem.py for the rationale)
+        @jax.jit
+        def run_assemble(mask, bvals):
+            S_loc = self._macro_local_matrices(sys)
+            vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+            b = assemble_load_vector(
+                sys.verts, sys.cells, self._f_fn,
+                bs=self._V_macro.bs, degree=self._quad_degree_rhs,
+            )
+            return apply_dirichlet(
+                vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+            )
+
+        @jax.jit
+        def run_solve(vals_bc, b_bc):
+            return solve_ell(
+                vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia
+            )
+
+        vals_bc, b_bc = run_assemble(mask, bvals)
+        x, iters, res = run_solve(vals_bc, b_bc)
         self._last_vals_bc = vals_bc
-        x, iters, res = solve_ell(vals_bc, sys.cols, b_bc, self._options_global)
         self._u = Function(self._V_macro, x)
         self._u.solver_iterations = int(iters)
         self._u.solver_residual = float(res)

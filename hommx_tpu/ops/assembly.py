@@ -43,6 +43,7 @@ def apply_dirichlet(
     b: jnp.ndarray,
     bc_mask: jnp.ndarray,
     bc_values: jnp.ndarray,
+    dia=None,
 ):
     """Symmetric Dirichlet elimination by lifting.
 
@@ -51,22 +52,38 @@ def apply_dirichlet(
         A  <- zero bc rows & cols, 1 on the bc diagonal
         b  <- bc values on bc rows
 
+    Entirely gather/scatter-free when a DIAPattern is supplied (the lifting
+    matvec runs in diagonal format and the bc-diagonal write is an
+    elementwise mask) — TPU gathers and scatters are both slow to run and
+    pathologically slow to compile.
+
     Args:
         bc_mask: (N,) bool, True at constrained dofs.
         bc_values: (N,) bc value at constrained dofs (0 elsewhere).
+        dia: optional DIAPattern for the lifting matvec.
     Returns: (vals', b')
     """
     N, K = cols.shape
     u_bc = jnp.where(bc_mask, bc_values, 0.0)
-    b = b - spmv(vals, cols, u_bc)
     keep_row = jnp.logical_not(bc_mask).astype(vals.dtype)  # (N,)
-    keep_col = keep_row[cols]  # (N, K)
+    if dia is not None:
+        from hommx_tpu.ops.dia import dia_spmv, ell_vals_to_dia, gather_cols
+
+        b = b - dia_spmv(ell_vals_to_dia(dia, vals), dia.offsets, u_bc)
+        keep_col = gather_cols(dia, keep_row)  # (N, K), gather-free
+    else:
+        b = b - spmv(vals, cols, u_bc)
+        keep_col = keep_row[cols]  # (N, K)
     v = vals.reshape(N, K) * keep_row[:, None] * keep_col
-    v = v.reshape(-1)
-    diag_val = jnp.where(bc_mask, jnp.ones_like(b), v[diag_slots])
-    v = v.at[diag_slots].set(diag_val)
+    # unit diagonal on bc rows, written as an elementwise select.  The true
+    # diagonal slots come from diag_slots (ELL padding slots alias column 0
+    # and would otherwise match a naive cols == row test on row 0).
+    is_diag = (
+        jnp.zeros(N * K, dtype=bool).at[diag_slots].set(True).reshape(N, K)
+    )
+    v = jnp.where(is_diag & bc_mask[:, None], jnp.ones_like(v), v)
     b = jnp.where(bc_mask, bc_values, b)
-    return v, b
+    return v.reshape(-1), b
 
 
 def assemble_load_vector(vertices, cells, f, bs: int = 1, degree: int = 2):

@@ -78,14 +78,37 @@ def dense_solve_ell(vals, cols, b):
     return jax.scipy.linalg.cho_solve((c, low), b)
 
 
-def solve_ell(vals, cols, b, options):
-    """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'."""
+def solve_ell(vals, cols, b, options, dia=None):
+    """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'.
+
+    With a DIAPattern (``dia``), the CG matvec runs in diagonal format —
+    the Pallas kernel on TPU, the XLA shift formulation elsewhere
+    (ops/dia.py) — instead of the gather-based ELL SpMV.
+    """
     method = options.method
     if method == "auto":
         method = "direct" if b.shape[0] <= options.direct_threshold else "cg"
     if method == "direct":
         x = dense_solve_ell(vals, cols, b)
         return x, jnp.array(0), jnp.array(0.0, dtype=b.dtype)
+    if dia is not None:
+        from hommx_tpu.ops.dia import dia_spmv, ell_vals_to_dia
+
+        dvals = ell_vals_to_dia(dia, vals)
+        # NOTE: the XLA shift formulation, not the Pallas kernel — on the
+        # axon remote-compile TPU backend a pallas_call nested in
+        # lax.while_loop stalls Mosaic compilation; the XLA version is
+        # within ~25% of the kernel (~0.7ms vs ~0.56ms at 263k dofs) and
+        # composes everywhere.  dia_spmv_pallas remains the standalone path.
+        matvec = lambda v: dia_spmv(dvals, dia.offsets, v)
+        return cg_matfree(
+            matvec,
+            _ell_diag(vals, cols),
+            b,
+            atol=options.atol,
+            rtol=options.rtol,
+            maxiter=options.maxiter,
+        )
     return cg_ell(
         vals,
         cols,
