@@ -59,6 +59,12 @@ def build_periodic_map(mesh: SimplexMesh, rtol: float = 1e-5, atol: float = 1e-8
     """
     if mesh.dim == 1:
         raise ValueError("Periodic boundary conditions in 1d not implemented.")
+    from hommx_tpu import native
+
+    res = native.periodic_match_native(mesh.vertices, rtol, atol)
+    if res is not None:
+        masters, is_slave = res
+        return _finalize(mesh.num_vertices, masters, is_slave)
     x = mesh.vertices
     lo = x.min(axis=0)
     hi = x.max(axis=0)
@@ -85,7 +91,12 @@ def build_periodic_map(mesh: SimplexMesh, rtol: float = 1e-5, atol: float = 1e-8
             )
         masters[v] = m
 
-    reduced_index = np.full(mesh.num_vertices, -1, dtype=np.int64)
+    return _finalize(mesh.num_vertices, masters, is_slave)
+
+
+def _finalize(nv: int, masters: np.ndarray, is_slave: np.ndarray) -> PeriodicMap:
+    slave_ids = np.nonzero(is_slave)[0]
+    reduced_index = np.full(nv, -1, dtype=np.int64)
     keep = np.nonzero(~is_slave)[0]
     reduced_index[keep] = np.arange(keep.shape[0])
     reduced_index[slave_ids] = reduced_index[masters[slave_ids]]

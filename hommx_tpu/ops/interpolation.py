@@ -47,7 +47,14 @@ def _locate_structured(mesh: SimplexMesh, points: np.ndarray) -> np.ndarray:
 
 
 def _locate_binned(mesh: SimplexMesh, points: np.ndarray, bins_per_axis=None) -> np.ndarray:
-    """Uniform-grid binning point location for unstructured meshes."""
+    """Uniform-grid binning point location for unstructured meshes.
+
+    Dispatches to the native C++ runtime when available."""
+    from hommx_tpu import native
+
+    res = native.locate_cells_native(mesh.vertices, mesh.cells, points)
+    if res is not None:
+        return res
     d = mesh.dim
     lo, hi = mesh.bounding_box()
     span = np.where(hi - lo > 0, hi - lo, 1.0)
