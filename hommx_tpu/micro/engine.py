@@ -511,6 +511,22 @@ class MicroEngine:
         Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
         return Astar
 
+    def nocorrector_tensors(self, coeff, centers, G_fn=None):
+        """A⁰(c_T) = (1/|Y|) Σ_e Eᵀ Ā_e E — the zero-corrector tensors.
+
+        By energy minimization the exact A*(c_T) diagonal is bounded above by
+        A⁰'s diagonal, so ``diag(A*) > diag(A⁰)`` flags a diverged iterative
+        cell solve (the f32 PCG path can diverge silently on extreme
+        coefficient contrast; see BaseHMM.solve's divergence guard).
+        """
+        centers = jnp.asarray(centers, dtype=self.dtype)
+
+        def one(x):
+            Ae = self.element_coeff(coeff, x)
+            return jnp.einsum("rn,ert,tm->nm", self.E, Ae, self.E) / self.volume_Y
+
+        return jax.vmap(one)(centers)
+
     # -- batched over macro quadrature points --------------------------------
     def tensors_for_centers(
         self,
@@ -554,10 +570,16 @@ class MicroEngine:
         return _map_chunked(one, centers, chunk)
 
     def _auto_chunk(self, nc: int) -> int:
-        # keep the dominant per-cell temporaries (K + element blocks) under ~1 GB
+        # keep the dominant per-cell temporaries under ~1 GB: the assembled
+        # K (n_red²), the dense-D contraction intermediate Z (nE·r·n_red —
+        # dominant for elasticity), and the per-element coefficient blocks
         itemsize = jnp.dtype(self.dtype).itemsize
+        if jnp.dtype(self.dtype) == jnp.float64:
+            itemsize *= 2  # TPU f64 emulation stores float32 pairs
+        z_term = self.nE * self.r * self.n_reduced if self.D is not None else 0
         per_cell = (
             2 * self.n_reduced * self.n_reduced
+            + 2 * z_term
             + 4 * self.nE * self.r * max(self.r, self.nbl)
         ) * itemsize
         budget = 1 << 30
@@ -591,7 +613,11 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
         X, R, P, rz, k = state
         KP = matvec(P)
         pkp = jnp.sum(P * KP, axis=0)
-        alpha = rz / jnp.where(pkp > 0, pkp, 1.0)
+        # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
+        # extreme-contrast coefficients): freeze the column instead of
+        # stepping with a garbage alpha
+        ok = (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pkp, 1.0), 0.0)
         X = X + P * alpha[None, :]
         R = R - KP * alpha[None, :]
         Z = Minv @ R
@@ -626,7 +652,11 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
         X, R, P, rz, k = state
         KP = matvec(P)
         pkp = jnp.sum(P * KP, axis=0)
-        alpha = rz / jnp.where(pkp > 0, pkp, 1.0)
+        # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
+        # extreme-contrast coefficients): freeze the column instead of
+        # stepping with a garbage alpha
+        ok = (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pkp, 1.0), 0.0)
         X = X + P * alpha[None]
         R = R - KP * alpha[None]
         Z = prec(R)

@@ -23,11 +23,15 @@ with ``hmm.py:388-393``), so it does not enter the computation here.
 
 from __future__ import annotations
 
+import logging
+import time
 from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("hommx_tpu")
 
 from hommx_tpu.config import default_dtype
 from hommx_tpu.micro.engine import MicroEngine
@@ -134,6 +138,12 @@ class BaseHMM:
         self._u: Optional[Function] = None
         self._macro_jit = None
         self._tensor_jit = None
+        self._a0_jit = None
+        #: per-solve telemetry: phase timings, solver iterations/residual,
+        #: NaN guard results (SURVEY.md §5: the reference's failure detection
+        #: is a NaN check per local matrix, hmm.py:320-323, and KSP
+        #: convergence logging, hmm.py:427-430,485-488)
+        self.diagnostics: dict = {}
 
     # -- subclass hooks ------------------------------------------------------
     def _block_size(self) -> int:
@@ -198,7 +208,46 @@ class BaseHMM:
         re-trigger the cell problems here).
         """
         sys = self._sys
+        t0 = time.perf_counter()
         A_star = self.homogenized_tensors()
+        t_micro = time.perf_counter() - t0
+
+        # NaN guard on the micro-stage output (reference hmm.py:320-323
+        # logs and continues; we do the same, naming the offending cells)
+        A_np = np.asarray(A_star)
+        nan_cells = np.nonzero(np.isnan(A_np).any(axis=(1, 2)))[0]
+        if nan_cells.size:
+            logger.error(
+                "Something went wrong when calculating the homogenized tensor "
+                "on %d cells (first: %s)", nan_cells.size, nan_cells[:5].tolist()
+            )
+        # divergence guard: energy minimization bounds diag(A*) by the
+        # zero-corrector tensor's diagonal; a violation means the iterative
+        # cell solve diverged (e.g. f32 PCG on extreme coefficient contrast
+        # — use dtype=jnp.float64 for such problems)
+        diverged_cells = np.array([], dtype=np.int64)
+        if self._engine.solver == "pcg":
+            if self._a0_jit is None:
+                self._a0_jit = jax.jit(
+                    lambda c: self._engine.nocorrector_tensors(
+                        self._coeff, c, G_fn=self._G_fn()
+                    )
+                )
+            A0 = np.asarray(self._a0_jit(sys.centers))
+            d_star = np.einsum("cii->ci", A_np)
+            d_zero = np.einsum("cii->ci", A0)
+            diverged = (d_star > 1.05 * d_zero + 1e-9).any(axis=1)
+            diverged_cells = np.nonzero(diverged)[0]
+            if diverged_cells.size:
+                logger.error(
+                    "Cell-problem solve diverged on %d cells (homogenized "
+                    "tensor exceeds its zero-corrector energy bound; first: "
+                    "%s). Likely cause: float32 PCG on a high-contrast "
+                    "coefficient — pass dtype=jnp.float64.",
+                    diverged_cells.size,
+                    diverged_cells[:5].tolist(),
+                )
+
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
         if self._macro_jit is None:
             # Two stages: composing scatter-assembly with the CG while-loop
@@ -208,13 +257,30 @@ class BaseHMM:
                 jax.jit(self._macro_solve),
             )
         asm, slv = self._macro_jit
+        t0 = time.perf_counter()
         vals_bc, b_bc = asm(A_star, mask, bvals)
         x, iters, res = slv(vals_bc, b_bc)
-        self._last_vals_bc = jax.block_until_ready(vals_bc)
+        iters, res = int(iters), float(res)
+        t_macro = time.perf_counter() - t0
+        if iters >= self._options_global.maxiter:
+            logger.error(
+                "Something went wrong in the global problem solve: CG hit "
+                "maxiter=%d with residual %.3e", iters, res,
+            )
+        self._last_vals_bc = vals_bc
         self._needs_reassembly = False
+        self.diagnostics = {
+            "micro_seconds": t_micro,
+            "macro_seconds": t_macro,
+            "macro_iterations": iters,
+            "macro_residual": res,
+            "nan_cells": nan_cells,
+            "diverged_cells": diverged_cells,
+            "num_cells": int(sys.centers.shape[0]),
+        }
         self._u = Function(self._V_macro, x)
-        self._u.solver_iterations = int(iters)
-        self._u.solver_residual = float(res)
+        self._u.solver_iterations = iters
+        self._u.solver_residual = res
         return self._u
 
     def _macro_assemble(self, A_star, mask, bvals):

@@ -133,6 +133,22 @@ def l2_norm_fn(vertices, cells, u_nodes, bs: int = 1, exact=None, degree: int = 
     return jnp.sqrt(jnp.sum(wq * jnp.sum(uq * uq, axis=-1)))
 
 
+def h1_seminorm_fn(vertices, cells, u_nodes, bs: int = 1, exact_grad=None, degree: int = 4):
+    """H¹ seminorm |u_h|₁ of a P1 function, or |u_h - exact|₁ given a JAX
+    callable ``exact_grad(x) -> (d,)`` / ``(bs, d)`` (BASELINE.md's H1 parity
+    metric).  P1 gradients are elementwise constant."""
+    grads, vols = cell_geometry(vertices, cells)  # (nc, nb0, d), (nc,)
+    uv = u_nodes.reshape(-1, bs)[cells]  # (nc, nb0, bs)
+    gu = jnp.einsum("cab,cad->cbd", uv, grads)  # (nc, bs, d), const per cell
+    if exact_grad is None:
+        return jnp.sqrt(jnp.sum(vols * jnp.sum(gu * gu, axis=(1, 2))))
+    xq, wq, _ = quad_points_physical(vertices, cells, degree)
+    ge = jax.vmap(jax.vmap(exact_grad))(xq)  # (nc, nq, [bs,] d)
+    ge = ge.reshape(xq.shape[0], xq.shape[1], bs, vertices.shape[1])
+    diff = gu[:, None, :, :] - ge
+    return jnp.sqrt(jnp.sum(wq * jnp.sum(diff * diff, axis=(2, 3))))
+
+
 def assemble_p1_stiffness_local(vertices, cells, coeff_at_cell):
     """Per-cell stiffness S_loc for elementwise-constant matrix coefficient.
 

@@ -72,7 +72,20 @@ def cg_matfree(matvec, diag, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
 
 @jax.jit
 def dense_solve_ell(vals, cols, b):
-    """Dense Cholesky solve of the ELL system (small macro systems)."""
+    """Dense Cholesky solve of the ELL system (small macro systems).
+
+    Runs in f64 regardless of the pipeline dtype when x64 is enabled:
+    f32 Cholesky breaks down (NaN) beyond condition ~1e7, which thin-beam
+    elasticity with high-contrast homogenized tensors reaches easily.  The
+    system is small (direct path is size-capped), so the upcast is cheap
+    even on TPUs where f64 is emulated.
+    """
+    dt = b.dtype
+    if dt == jnp.float32 and jax.config.jax_enable_x64:
+        A = ell_to_dense(vals.astype(jnp.float64), cols)
+        c, low = jax.scipy.linalg.cho_factor(A)
+        x = jax.scipy.linalg.cho_solve((c, low), b.astype(jnp.float64))
+        return x.astype(dt)
     A = ell_to_dense(vals, cols)
     c, low = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve((c, low), b)

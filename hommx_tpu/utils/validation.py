@@ -24,8 +24,10 @@ from hommx_tpu.ops.interpolation import interpolate_nonmatching
 __all__ = [
     "calc_l2_error",
     "calc_l2_norm",
+    "calc_h1_error",
     "zero_dirichlet_bcs",
     "relative_l2_vs_reference",
+    "relative_h1_vs_reference",
     "hooke_tensor",
 ]
 
@@ -47,6 +49,38 @@ def calc_l2_norm(mesh, u, bs: int = 1, exact: Optional[Callable] = None) -> floa
             jnp.asarray(mesh.vertices), jnp.asarray(mesh.cells), arr, bs=bs, exact=exact
         )
     )
+
+
+def calc_h1_error(mesh, u1, u2, bs: int = 1) -> float:
+    """H¹ seminorm of the difference of two P1 functions on the same mesh
+    (the H1 parity metric of BASELINE.md)."""
+    from hommx_tpu.ops.assembly import h1_seminorm_fn
+
+    a1 = u1.array if hasattr(u1, "array") else u1
+    a2 = u2.array if hasattr(u2, "array") else u2
+    return float(
+        h1_seminorm_fn(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.cells), a1 - a2, bs=bs
+        )
+    )
+
+
+def relative_h1_vs_reference(u_coarse, u_fine) -> float:
+    """Relative H¹-seminorm difference vs an interpolated fine solution."""
+    from hommx_tpu.ops.assembly import h1_seminorm_fn
+
+    V = u_coarse.space
+    u_ref_i = interpolate_nonmatching(V, u_fine)
+    err = calc_h1_error(V.mesh, u_coarse, u_ref_i, bs=V.bs)
+    nrm = float(
+        h1_seminorm_fn(
+            jnp.asarray(V.mesh.vertices),
+            jnp.asarray(V.mesh.cells),
+            u_ref_i.array,
+            bs=V.bs,
+        )
+    )
+    return err / nrm
 
 
 def zero_dirichlet_bcs(V: FunctionSpace):

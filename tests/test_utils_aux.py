@@ -1,0 +1,144 @@
+"""Aux subsystems: checkpoint I/O, diagnostics, H1 norms, helpers-compat,
+options translation, plotting (SURVEY.md §5 inventory)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hommx_tpu import (
+    PoissonHMM,
+    SolverOptions,
+    create_unit_square,
+)
+from hommx_tpu.utils.io import load_hmm_state, save_hmm_state
+from hommx_tpu.utils.validation import calc_h1_error, zero_dirichlet_bcs
+
+
+A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+f = lambda x: 1.0
+
+
+def _hmm(n=8):
+    return PoissonHMM(create_unit_square(n), A, f, create_unit_square(6), 0.01)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    h1 = _hmm()
+    u1 = h1.solve()
+    path = str(tmp_path / "state.npz")
+    save_hmm_state(path, h1)
+
+    h2 = _hmm()
+    load_hmm_state(path, h2)  # skips the micro stage entirely
+    u2 = h2.solve()
+    assert float(jnp.max(jnp.abs(u1.array - u2.array))) < 1e-14
+
+
+def test_checkpoint_mesh_mismatch(tmp_path):
+    h1 = _hmm(8)
+    h1.solve()
+    path = str(tmp_path / "state.npz")
+    save_hmm_state(path, h1)
+    h3 = _hmm(10)
+    with pytest.raises(ValueError, match="mesh"):
+        load_hmm_state(path, h3)
+
+
+def test_diagnostics_populated():
+    h = _hmm()
+    h.solve()
+    d = h.diagnostics
+    assert d["num_cells"] == h._sys.centers.shape[0]
+    assert d["micro_seconds"] > 0 and d["macro_seconds"] > 0
+    assert d["nan_cells"].size == 0
+
+
+def test_nan_guard_fires(caplog):
+    import logging
+
+    h = PoissonHMM(
+        create_unit_square(4),
+        lambda x, y: jnp.nan * x[0],  # poisoned coefficient
+        f,
+        create_unit_square(4),
+        0.01,
+    )
+    with caplog.at_level(logging.ERROR, logger="hommx_tpu"):
+        h.solve()
+    assert h.diagnostics["nan_cells"].size == h._sys.centers.shape[0]
+    assert any("went wrong" in r.message for r in caplog.records)
+
+
+def test_h1_error_metric():
+    mesh = create_unit_square(16)
+    from hommx_tpu.ops.assembly import h1_seminorm_fn
+    from hommx_tpu.ops.function_space import Function, FunctionSpace
+
+    V = FunctionSpace(mesh, 1)
+    u = Function(V).interpolate(lambda x: x[0])  # grad = (1, 0) exactly
+    h1 = float(
+        h1_seminorm_fn(jnp.asarray(mesh.vertices), jnp.asarray(mesh.cells), u.array)
+    )
+    assert np.isclose(h1, 1.0, atol=1e-12)
+    err = float(
+        h1_seminorm_fn(
+            jnp.asarray(mesh.vertices),
+            jnp.asarray(mesh.cells),
+            u.array,
+            exact_grad=lambda x: jnp.array([1.0, 0.0]),
+        )
+    )
+    assert err < 1e-12
+
+
+def test_helpers_compat_1d():
+    from hommx_tpu.helpers import solve_diffusion_1d
+
+    # A = 1: u = x(1-x)/2, max 0.125
+    vals = solve_diffusion_1d(0.1, 64, lambda x: 1.0)
+    assert np.isclose(vals.max(), 0.125, atol=1e-4)
+
+
+def test_helpers_compat_2d():
+    from hommx_tpu.helpers import solve_diffusion_2d
+
+    grid = solve_diffusion_2d(0.1, 12, lambda x: 1.0 + x[0])
+    assert grid.shape == (13, 13)
+    assert np.allclose(grid[0, :], 0) and np.allclose(grid[-1, :], 0)
+    assert grid.max() > 0
+
+
+def test_options_translation():
+    o = SolverOptions.from_any({"ksp_type": "preonly", "pc_type": "lu"})
+    assert o.method == "direct"
+    o = SolverOptions.from_any({"ksp_atol": 1e-9, "ksp_type": "cg"})
+    assert o.method == "cg" and o.atol == 1e-9
+    o = SolverOptions.from_any(SolverOptions(method="cg"))
+    assert o.method == "cg"
+
+
+def test_plotting_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    h = _hmm()
+    h.set_boundary_conditions(zero_dirichlet_bcs(h.function_space))
+    h.solve()
+    fig = h.plot_solution(filename=str(tmp_path / "u.png"), title="u")
+    assert (tmp_path / "u.png").exists()
+
+
+def test_solve_then_new_rhs_reuses_micro_stage():
+    """set_right_hand_side must not re-trigger the micro stage (stronger
+    than the reference's _needs_reassembly, hmm.py:289-296)."""
+    h = _hmm()
+    h.solve()
+    t_micro_1 = h.diagnostics["micro_seconds"]
+    A_star_id = id(h._A_star)
+    h.set_right_hand_side(lambda x: 2.0)
+    u2 = h.solve()
+    assert id(h._A_star) == A_star_id  # cached tensors reused
+    # rhs doubled with same operator+BC(zero default) => solution doubled
+    h.set_right_hand_side(f)
+    u1 = h.solve()
+    assert np.allclose(np.asarray(u2.array), 2 * np.asarray(u1.array), atol=1e-12)
