@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark suite over the five BASELINE.json configurations.
+
+Prints one JSON line per configuration with cold (compile-inclusive) and
+warm end-to-end solve times plus micro-stage throughput.  The headline
+driver metric stays in ../bench.py; this suite is the broad-coverage view
+(docs/performance.md records results).
+
+Timing methodology: host-readback sync after every solve (block_until_ready
+is not a reliable barrier through the axon TPU tunnel).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(u):
+    return float(np.abs(np.asarray(u.array)).max())
+
+
+def _run(make_solver, name, nrhs_equiv):
+    t0 = time.perf_counter()
+    solver = make_solver()
+    u = solver.solve()
+    chk = _sync(u)
+    cold = time.perf_counter() - t0
+    # warm: re-run the full pipeline (micro stage + macro) with caches hot
+    solver._A_star = None
+    t0 = time.perf_counter()
+    u = solver.solve()
+    chk = _sync(u)
+    warm = time.perf_counter() - t0
+    nc = solver.diagnostics["num_cells"]
+    d = {
+        "config": name,
+        "cells": nc,
+        "cold_seconds": round(cold, 2),
+        "warm_seconds": round(warm, 3),
+        "micro_solves_per_sec": round(
+            nc * nrhs_equiv / max(solver.diagnostics["micro_seconds"], 1e-9), 1
+        ),
+        "diverged_cells": int(solver.diagnostics["diverged_cells"].size),
+        "checksum": chk,
+    }
+    print(json.dumps(d), flush=True)
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller meshes")
+    args = ap.parse_args()
+
+    from hommx_tpu import (
+        LinearElasticityHMM,
+        LinearElasticityStratifiedHMM,
+        PoissonHMM,
+        PoissonStratifiedHMM,
+        create_box,
+        create_rectangle,
+        create_unit_cube,
+        create_unit_square,
+        dirichletbc,
+    )
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    f32 = jnp.float32
+    f64 = jnp.float64
+    q = args.quick
+
+    # 1. 2D PoissonHMM, x-dependent laminate (examples/hmm.py config)
+    def c1():
+        n = 16 if q else 64
+        macro = create_rectangle([[0, 0], [5, 5]], [n, n])
+        micro = create_unit_square(16, 16)
+        A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+        return PoissonHMM(macro, A, lambda x: 1.0, micro, 1 / 2**5,
+                          dtype=f32 if on_tpu else f64)
+
+    _run(c1, "2d_poisson_laminate", 2)
+
+    # 2. 2D PoissonStratifiedHMM, wavy laminate
+    def c2():
+        n = 16 if q else 48
+        macro = create_unit_square(n, n)
+        micro = create_unit_square(24, 24)
+        A = lambda x, y: jnp.where(jnp.cos(2 * jnp.pi * y[0]) < 0, 5.0, 0.05)
+
+        def Dtheta(x):
+            return jnp.array(
+                [[-2 * jnp.pi * jnp.cos(2 * jnp.pi * x[0]), 1.0], [1.0, 0.0]]
+            )
+
+        s = PoissonStratifiedHMM(macro, A, lambda x: 1.0, micro, 2**-4, Dtheta,
+                                 dtype=f32 if on_tpu else f64)
+        return s
+
+    _run(c2, "2d_stratified_wavy_laminate", 2)
+
+    # 3. 3D PoissonHMM on the unit cube (examples/hmm_3d.py config)
+    def c3():
+        n = 4 if q else 6
+        macro = create_unit_cube(n)
+        micro = create_unit_cube(6)
+        A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+        return PoissonHMM(macro, A, lambda x: 1.0, micro, 1 / 2**3,
+                          dtype=f32 if on_tpu else f64)
+
+    _run(c3, "3d_poisson_cube", 3)
+
+    # 4. 3D LinearElasticityHMM with stiff circular fiber (contrast 1e5 → f64)
+    def circle(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < (2 * jnp.pi) ** 2 / 16
+
+    mu = lambda x, y: jnp.where(circle(y[1], y[2]), 100.0, 0.001)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def c4():
+        macro = create_box([[0, 0, 0], [1.0, 0.4, 0.4]], [6, 3, 3] if q else [10, 3, 3])
+        micro = create_unit_cube(4)
+        s = LinearElasticityHMM(macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.01]),
+                                micro, 2**-5, dtype=f64)
+        s.set_boundary_conditions(
+            dirichletbc(np.zeros(3),
+                        boundary_dofs(s.function_space, lambda x: np.isclose(x[0], 0)),
+                        s.function_space))
+        return s
+
+    _run(c4, "3d_elasticity_fiber", 9)
+
+    # 5. 3D rotated-fiber beam (flagship, BASELINE config 5)
+    W = 0.4
+
+    def Dtheta3(x):
+        gamma = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(gamma), jnp.sin(gamma)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    def c5():
+        macro = create_box([[0, 0, 0], [1.0, W, 0.1]], [10, 3, 3] if q else [20, 6, 6])
+        micro = create_unit_cube(4)
+        s = LinearElasticityStratifiedHMM(
+            macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.008]), micro, 2**-5,
+            Dtheta3, dtype=f64)
+        s.set_boundary_conditions(
+            dirichletbc(np.zeros(3),
+                        boundary_dofs(s.function_space, lambda x: np.isclose(x[0], 0)),
+                        s.function_space))
+        return s
+
+    _run(c5, "3d_rotated_fiber_beam", 12)
+
+
+if __name__ == "__main__":
+    main()

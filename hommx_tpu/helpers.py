@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax.numpy as jnp
 import numpy as np
 
 from hommx_tpu.meshes.simplex import (  # noqa: F401

@@ -99,7 +99,7 @@ class MicroEngine:
         assembly: str = "auto",
         solver: str = "auto",
         pcg_tol: Optional[float] = None,
-        pcg_maxiter: int = 200,
+        pcg_maxiter: int = 1500,
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -603,14 +603,22 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     P = Z
     rz = jnp.sum(R * Z, axis=0)  # (s,)
     fnorm = jnp.linalg.norm(F, axis=0) + eps
+    rel0 = jnp.linalg.norm(R, axis=0) / fnorm
+    best = (X, rel0)  # best-residual iterate per column: finite-precision CG
+    # on ill-conditioned systems can drift upward after stagnating; returning
+    # the best iterate bounds the error at the f32-attainable level instead
+    # of diverging
 
     def cond(state):
-        X, R, P, rz, k = state
+        X, R, P, rz, k, bX, brel, stall = state
         rel = jnp.max(jnp.linalg.norm(R, axis=0) / fnorm)
-        return jnp.logical_and(rel > tol, k < maxiter)
+        # exit on convergence, iteration cap, or stagnation (no column
+        # improved its best residual for 60 iterations — the f32-attainable
+        # accuracy for this conditioning has been reached)
+        return (rel > tol) & (k < maxiter) & (stall < 60)
 
     def body(state):
-        X, R, P, rz, k = state
+        X, R, P, rz, k, bX, brel, stall = state
         KP = matvec(P)
         pkp = jnp.sum(P * KP, axis=0)
         # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
@@ -624,10 +632,16 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         P = Z + P * beta[None, :]
-        return X, R, P, rz_new, k + 1
+        rel = jnp.linalg.norm(R, axis=0) / fnorm
+        improved = (rel < 0.995 * brel) & jnp.isfinite(rel)
+        bX = jnp.where(improved[None, :], X, bX)
+        brel = jnp.where(improved, jnp.minimum(rel, brel), brel)
+        stall = jnp.where(jnp.any(improved), 0, stall + 1)
+        return X, R, P, rz_new, k + 1, bX, brel, stall
 
-    X, _, _, _, _ = jax.lax.while_loop(cond, body, (X, R, P, rz, jnp.array(0)))
-    return X
+    state = (X, R, P, rz, jnp.array(0), best[0], best[1], jnp.array(0))
+    out = jax.lax.while_loop(cond, body, state)
+    return out[5]
 
 
 def _chunk_pcg(matvec, prec, F, tol, maxiter):
@@ -642,14 +656,16 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
     P = Z
     rz = jnp.sum(R * Z, axis=0)  # (C, s)
     fnorm = jnp.sqrt(jnp.sum(F * F, axis=0)) + eps
+    rel0 = jnp.sqrt(jnp.sum(R * R, axis=0)) / fnorm
+    # best-residual iterate per column (see _block_pcg_matfree)
 
     def cond(state):
-        X, R, P, rz, k = state
+        X, R, P, rz, k, bX, brel, stall = state
         rel = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)) / fnorm)
-        return jnp.logical_and(rel > tol, k < maxiter)
+        return (rel > tol) & (k < maxiter) & (stall < 60)
 
     def body(state):
-        X, R, P, rz, k = state
+        X, R, P, rz, k, bX, brel, stall = state
         KP = matvec(P)
         pkp = jnp.sum(P * KP, axis=0)
         # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
@@ -663,10 +679,16 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         P = Z + P * beta[None]
-        return X, R, P, rz_new, k + 1
+        rel = jnp.sqrt(jnp.sum(R * R, axis=0)) / fnorm
+        improved = (rel < 0.995 * brel) & jnp.isfinite(rel)
+        bX = jnp.where(improved[None], X, bX)
+        brel = jnp.where(improved, jnp.minimum(rel, brel), brel)
+        stall = jnp.where(jnp.any(improved), 0, stall + 1)
+        return X, R, P, rz_new, k + 1, bX, brel, stall
 
-    X, _, _, _, _ = jax.lax.while_loop(cond, body, (X, R, P, rz, jnp.array(0)))
-    return X
+    state = (X, R, P, rz, jnp.array(0), X, rel0, jnp.array(0))
+    out = jax.lax.while_loop(cond, body, state)
+    return out[5]
 
 
 def _map_chunked(fn, xs, chunk: int, chunk_fn: bool = False):

@@ -3,7 +3,7 @@ coefficient matrices, BC merging, and the macro solve pipeline."""
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-logger = logging.getLogger("hommx_tpu")
-
 from hommx_tpu.config import default_dtype
 from hommx_tpu.micro.engine import MicroEngine
 from hommx_tpu.models.common import MacroSystem, merge_bcs, probe_coeff_kind
@@ -42,7 +40,6 @@ from hommx_tpu.ops.function_space import (
     DirichletBC,
     Function,
     FunctionSpace,
-    boundary_dofs,
     dirichletbc,
     locate_dofs_geometrical,
 )
@@ -57,6 +54,8 @@ __all__ = [
     "LinearElasticityHMM",
     "LinearElasticityStratifiedHMM",
 ]
+
+logger = logging.getLogger("hommx_tpu")
 
 
 class BaseHMM:

@@ -15,7 +15,6 @@ import numpy as np
 from hommx_tpu.ops.assembly import l2_norm_fn
 from hommx_tpu.ops.function_space import (
     FunctionSpace,
-    boundary_dofs,
     dirichletbc,
     locate_dofs_geometrical,
 )
