@@ -147,13 +147,20 @@ class MicroEngine:
 
     def _build_operators_impl(self):
         mesh, d, bs = self.mesh, self.d, self.bs
-        verts = jnp.asarray(mesh.vertices, dtype=self.dtype)
+        # geometry in f64 regardless of compute dtype: quadrature-point
+        # coordinates feed the user coefficient, and discontinuous
+        # coefficients (laminates, inclusions) are knife-edge sensitive to
+        # point placement — f32-rounded points flip indicator functions at
+        # interface-aligned points (SURVEY.md §7 "hard parts"), which showed
+        # up as ~10% assembly differences between dtypes
+        f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        verts = jnp.asarray(mesh.vertices, dtype=f64)
         cells = jnp.asarray(mesh.cells)
         grads, vols = cell_geometry(verts, cells)  # (ne, d+1, d), (ne,)
         xq, wq, _ = quad_points_physical(verts, cells, self.quad_degree)
         ne, nq = wq.shape
         self.nE, self.nq = ne, nq
-        self.yq = np.asarray(xq)  # (ne, nq, d) micro quadrature points
+        self.yq = np.asarray(xq)  # (ne, nq, d) micro quadrature points (f64)
         self.wq = np.asarray(wq)  # (ne, nq) weights, Σ = |Y|
 
         red = self.pmap.reduced_index  # (nv,)
@@ -217,7 +224,9 @@ class MicroEngine:
         pin = np.zeros(nred, dtype=bool)
         pin[:bs] = True
         self.pin_mask = jnp.asarray(pin)
-        self.yq_dev = jnp.asarray(self.yq, dtype=self.dtype)
+        # quadrature COORDINATES stay f64 (coefficient sampling robustness);
+        # everything downstream of coefficient VALUES uses the compute dtype
+        self.yq_dev = jnp.asarray(self.yq, dtype=f64)
         self.wq_dev = jnp.asarray(self.wq, dtype=self.dtype)
         self._eye_sym = (
             _sym_map(jnp.eye(d, dtype=self.dtype)) if bs == d else None
@@ -523,7 +532,14 @@ class MicroEngine:
 
         def one(x):
             Ae = self.element_coeff(coeff, x)
-            return jnp.einsum("rn,ert,tm->nm", self.E, Ae, self.E) / self.volume_Y
+            A0 = jnp.einsum("rn,ert,tm->nm", self.E, Ae, self.E) / self.volume_Y
+            # within-cell coefficient contrast estimate (ratio of largest to
+            # smallest canonical-block diagonal entry over micro elements —
+            # diagonals see the soft shear moduli that a trace would mask):
+            # large contrast bounds the accuracy of the f32 PCG path
+            dg = jnp.einsum("err->er", Ae)
+            contrast = jnp.max(dg) / jnp.maximum(jnp.min(dg), 1e-30)
+            return A0, contrast
 
         return jax.vmap(one)(centers)
 

@@ -232,7 +232,9 @@ class BaseHMM:
                         self._coeff, c, G_fn=self._G_fn()
                     )
                 )
-            A0 = np.asarray(self._a0_jit(sys.centers))
+            A0_dev, contrast_dev = self._a0_jit(sys.centers)
+            A0 = np.asarray(A0_dev)
+            contrast = float(np.max(np.asarray(contrast_dev)))
             d_star = np.einsum("cii->ci", A_np)
             d_zero = np.einsum("cii->ci", A0)
             diverged = (d_star > 1.05 * d_zero + 1e-9).any(axis=1)
@@ -246,6 +248,15 @@ class BaseHMM:
                     diverged_cells.size,
                     diverged_cells[:5].tolist(),
                 )
+            elif contrast > 1e4 and jnp.dtype(self._dtype) == jnp.float32:
+                logger.warning(
+                    "Coefficient contrast ~%.1e exceeds the float32 cell-"
+                    "solver's accurate range; homogenized tensors may be "
+                    "several percent off (soft modes worst). Pass "
+                    "dtype=jnp.float64 for high-contrast problems.",
+                    contrast,
+                )
+            self.diagnostics_contrast = contrast
 
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
         if self._macro_jit is None:

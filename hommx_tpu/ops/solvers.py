@@ -83,10 +83,14 @@ def dense_solve_ell(vals, cols, b):
     dt = b.dtype
     if dt == jnp.float32 and jax.config.jax_enable_x64:
         A = ell_to_dense(vals.astype(jnp.float64), cols)
+        # symmetrize: f32-assembly asymmetry noise can exceed the smallest
+        # eigenvalues of ill-conditioned systems and break the factorization
+        A = 0.5 * (A + A.T)
         c, low = jax.scipy.linalg.cho_factor(A)
         x = jax.scipy.linalg.cho_solve((c, low), b.astype(jnp.float64))
         return x.astype(dt)
     A = ell_to_dense(vals, cols)
+    A = 0.5 * (A + A.T)
     c, low = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve((c, low), b)
 
