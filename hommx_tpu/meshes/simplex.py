@@ -111,19 +111,13 @@ class SimplexMesh:
         """Total measure of the mesh domain (|Y| in HMM scaling)."""
         return float(self.cell_volumes().sum())
 
-    def boundary_vertices(self) -> np.ndarray:
-        """Indices of vertices on the domain boundary (facet-based).
-
-        A facet (sub-simplex of dim-1) is on the boundary iff it belongs to
-        exactly one cell.  Replaces ``mesh.locate_entities_boundary`` with an
-        all-boundary marker (reference ``test_unit.py:30-31``).
-        """
+    def boundary_facets(self) -> np.ndarray:
+        """(num_boundary_facets, dim) sorted vertex tuples of boundary facets
+        (a facet belongs to the boundary iff exactly one cell contains it)."""
         d = self.dim
         if d == 1:
-            # facets are vertices
             counts = np.bincount(self.cells.ravel(), minlength=self.num_vertices)
-            return np.nonzero(counts == 1)[0]
-        # enumerate facets: all (d) -subsets of each cell's d+1 vertices
+            return np.nonzero(counts == 1)[0][:, None]
         import itertools
 
         facets = []
@@ -131,8 +125,15 @@ class SimplexMesh:
             facets.append(np.sort(self.cells[:, list(idxs)], axis=1))
         facets = np.concatenate(facets, axis=0)
         uniq, counts = np.unique(facets, axis=0, return_counts=True)
-        bdry = uniq[counts == 1]
-        return np.unique(bdry.ravel())
+        return uniq[counts == 1]
+
+    def boundary_vertices(self) -> np.ndarray:
+        """Indices of vertices on the domain boundary (facet-based).
+
+        Replaces ``mesh.locate_entities_boundary`` with an all-boundary
+        marker (reference ``test_unit.py:30-31``).
+        """
+        return np.unique(self.boundary_facets().ravel())
 
     def __repr__(self):
         return (

@@ -1,4 +1,4 @@
-"""Single-scale P1 FEM solvers (fine-mesh references & the macro stage).
+"""Single-scale P1/P2 FEM solvers (fine-mesh references & the macro stage).
 
 Replaces the reference's DOLFINx ``LinearProblem`` usage: the convenience
 ``PoissonFEM`` class (reference ``helpers.py:212-302``) and the fine-mesh
@@ -33,9 +33,14 @@ __all__ = ["fem_assemble_values", "fem_solve", "PoissonFEM", "LinearElasticityFE
 
 
 def _local_matrices(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
-    """Per-cell stiffness blocks for a pointwise coefficient A(x)."""
+    """Per-cell stiffness blocks for a pointwise coefficient A(x).
+
+    P1: gradients are cellwise constant.  P2 (scalar): per-quadrature-point
+    basis gradients ∇φ_k(x_q) = Σ_i c[q,k,i] ∇λ_i (ops/p2.py)."""
     V = sys.V
     d = V.mesh.dim
+    if V.degree == 2:
+        degree = max(degree, 3)  # quadratic basis gradients are degree 1
     xq, wq, _ = quad_points_physical(sys.verts, sys.cells, degree)  # (nc,nq,..)
 
     def coeff_mat(x):
@@ -47,11 +52,42 @@ def _local_matrices(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
         return val.reshape(d * d, d * d)
 
     Aq = jax.vmap(jax.vmap(coeff_mat))(xq)  # (nc, nq, r, r)
+    if V.degree == 2:
+        if V.bs != 1:
+            raise NotImplementedError("vector P2 elements are not implemented")
+        from hommx_tpu.ops.p2 import p2_basis
+        from hommx_tpu.ops.quadrature import simplex_rule
+
+        xi, _ = simplex_rule(d, degree)
+        _, dlam = p2_basis(jnp.asarray(xi, sys.dtype), d)  # (nq, nb, d+1)
+        B = jnp.einsum("qki,cid->cqkd", dlam, sys.grads)  # ∇φ at quad pts
+        return jnp.einsum("cq,cqkd,cqde,cqle->ckl", wq, B, Aq, B)
     if V.bs == 1:
         # S[a,b] = Σ_q w_q ∇λ_aᵀ A(x_q) ∇λ_b   (rows = test)
         return jnp.einsum("cq,cad,cqde,cbe->cab", wq, sys.grads, Aq, sys.grads)
     # elasticity: S[m,n] = Σ_q w_q P_m (ij) Ā[(ij),(kl)] P_n (kl)
     return jnp.einsum("cq,cmr,cqrt,cnt->cmn", wq, sys.strain_P, Aq, sys.strain_P)
+
+
+def _load_vector(sys: MacroSystem, f_fn: Callable, degree: int):
+    """Degree-aware load vector b_i = ∫ f φ_i dx."""
+    V = sys.V
+    if V.degree == 1:
+        return assemble_load_vector(
+            sys.verts, sys.cells, f_fn, bs=V.bs, degree=degree
+        )
+    from hommx_tpu.ops.p2 import p2_basis
+    from hommx_tpu.ops.quadrature import simplex_rule
+
+    degree = max(degree, 3)
+    xq, wq, _ = quad_points_physical(sys.verts, sys.cells, degree)
+    xi, _ = simplex_rule(V.mesh.dim, degree)
+    phi, _ = p2_basis(jnp.asarray(xi, sys.dtype), V.mesh.dim)  # (nq, nb)
+    fvals = jax.vmap(jax.vmap(f_fn))(xq).reshape(wq.shape)
+    contrib = jnp.einsum("cq,qk->ck", wq * fvals, phi)
+    b = jnp.zeros(V.num_dofs, dtype=contrib.dtype)
+    nodes = jnp.asarray(V.cell_nodes())
+    return b.at[nodes.reshape(-1)].add(contrib.reshape(-1))
 
 
 def fem_assemble_values(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
@@ -87,9 +123,7 @@ def fem_solve(
     @jax.jit
     def run_assemble(mask, bvals):
         vals = fem_assemble_values(sys, coeff, kind, quad_degree)
-        b = assemble_load_vector(
-            sys.verts, sys.cells, f_fn, bs=V.bs, degree=rhs_degree
-        )
+        b = _load_vector(sys, f_fn, rhs_degree)
         return apply_dirichlet(
             vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
@@ -127,8 +161,9 @@ class PoissonFEM:
         f,
         options: Optional[SolverOptions] = None,
         quad_degree: int = 2,
+        degree: int = 1,
     ):
-        self._V = FunctionSpace(msh, 1)
+        self._V = FunctionSpace(msh, 1, degree=degree)
         self._coeff = A
         self._f = f
         self._options = SolverOptions.from_any(options)

@@ -3,8 +3,8 @@
 Mirrors the slice of the DOLFINx API the reference uses
 (``fem.functionspace``, ``fem.Function``, ``fem.dirichletbc``,
 ``fem.locate_dofs_topological`` — reference ``hmm.py:124,632-636``) on top of
-array meshes.  Only P1 Lagrange (scalar or d-vector) spaces exist, which is
-all the reference supports.
+array meshes.  P1 and P2 Lagrange (scalar or d-vector) spaces are
+supported; the reference itself is P1-only.
 
 Dof layout: node-major, component-minor — dof = node * bs + component,
 matching PETSc blocked index unrolling (reference ``hmm.py:31-40``).
@@ -32,11 +32,31 @@ __all__ = [
 
 
 class FunctionSpace:
-    """P1 Lagrange space (bs=1 scalar, bs=d vector) on a simplex mesh."""
+    """P1/P2 Lagrange space (bs=1 scalar, bs=d vector) on a simplex mesh.
 
-    def __init__(self, mesh: SimplexMesh, bs: int = 1):
+    P2 (degree=2) adds edge-midpoint dofs (ops/p2.py); the HMM macro space
+    is always P1 (reference parity), P2 serves the single-scale FEM path.
+    """
+
+    def __init__(self, mesh: SimplexMesh, bs: int = 1, degree: int = 1):
         self.mesh = mesh
         self.bs = int(bs)
+        self.degree = int(degree)
+        if self.degree not in (1, 2):
+            raise NotImplementedError("only P1 and P2 Lagrange are supported")
+        if self.degree == 2:
+            from hommx_tpu.ops.p2 import build_edges, p2_cell_dofs, p2_dof_coordinates
+
+            self.edges, self.cell_edges = build_edges(
+                mesh.cells, mesh.num_vertices
+            )
+            self._cell_nodes = p2_cell_dofs(
+                mesh.cells, self.cell_edges, mesh.num_vertices
+            )
+            self._dof_coords = p2_dof_coordinates(mesh.vertices, self.edges)
+        else:
+            self._cell_nodes = mesh.cells
+            self._dof_coords = mesh.vertices
 
     @property
     def dim(self) -> int:
@@ -44,24 +64,28 @@ class FunctionSpace:
 
     @property
     def num_nodes(self) -> int:
-        return self.mesh.num_vertices
+        return self._dof_coords.shape[0]
 
     @property
     def num_dofs(self) -> int:
-        return self.mesh.num_vertices * self.bs
+        return self.num_nodes * self.bs
 
     @property
     def dofs_per_cell(self) -> int:
         """Basis functions per cell (reference hmm.py:138-140)."""
-        return (self.mesh.dim + 1) * self.bs
+        return self._cell_nodes.shape[1] * self.bs
 
     def tabulate_dof_coordinates(self) -> np.ndarray:
-        """(num_nodes, dim) coordinates of the P1 nodes (= vertices)."""
-        return self.mesh.vertices
+        """(num_nodes, dim) node coordinates (P1: vertices; P2: + midpoints)."""
+        return self._dof_coords
+
+    def cell_nodes(self) -> np.ndarray:
+        """(num_cells, nodes_per_cell) node indices per cell."""
+        return self._cell_nodes
 
     def cell_dofs_unrolled(self) -> np.ndarray:
         """(num_cells, dofs_per_cell) unrolled scalar dof indices per cell."""
-        cells = self.mesh.cells
+        cells = self._cell_nodes
         if self.bs == 1:
             return cells
         comp = np.arange(self.bs)
@@ -69,28 +93,55 @@ class FunctionSpace:
             cells.shape[0], -1
         )
 
+    def boundary_nodes(self) -> np.ndarray:
+        """Node indices on the mesh boundary (vertices; + midpoints of
+        boundary edges for P2)."""
+        bverts = self.mesh.boundary_vertices()
+        if self.degree == 1:
+            return bverts
+        facets = self.mesh.boundary_facets()  # (nf, d) sorted
+        d = self.mesh.dim
+        import itertools
+
+        bedges = set()
+        for pair in itertools.combinations(range(d), 2):
+            for f in facets[:, list(pair)]:
+                bedges.add((int(f[0]), int(f[1])))
+        if d == 2:
+            bedges = {tuple(f) for f in facets.tolist()}
+        edge_keys = {tuple(e): i for i, e in enumerate(self.edges.tolist())}
+        mid_ids = [
+            self.mesh.num_vertices + edge_keys[e]
+            for e in bedges
+            if e in edge_keys
+        ]
+        return np.concatenate([bverts, np.asarray(sorted(mid_ids), dtype=np.int64)])
+
     def __eq__(self, other):
         return (
             isinstance(other, FunctionSpace)
             and other.mesh is self.mesh
             and other.bs == self.bs
+            and other.degree == self.degree
         )
 
     def __hash__(self):
-        return hash((id(self.mesh), self.bs))
+        return hash((id(self.mesh), self.bs, self.degree))
 
     def __repr__(self):
-        return f"FunctionSpace(P1, bs={self.bs}, mesh={self.mesh!r})"
+        return (
+            f"FunctionSpace(P{self.degree}, bs={self.bs}, mesh={self.mesh!r})"
+        )
 
 
 def functionspace(mesh: SimplexMesh, element=("Lagrange", 1)) -> FunctionSpace:
     """DOLFINx-style constructor: ``functionspace(mesh, ("Lagrange", 1))`` or
-    ``functionspace(mesh, ("Lagrange", 1, (dim,)))`` for vector spaces."""
+    ``functionspace(mesh, ("Lagrange", 2, (dim,)))`` for vector spaces."""
     family, degree, *shape = element
-    if family not in ("Lagrange", "P", "CG") or degree != 1:
-        raise NotImplementedError("only P1 Lagrange spaces are supported")
+    if family not in ("Lagrange", "P", "CG") or degree not in (1, 2):
+        raise NotImplementedError("only P1/P2 Lagrange spaces are supported")
     bs = 1 if not shape else int(np.prod(shape[0]))
-    return FunctionSpace(mesh, bs)
+    return FunctionSpace(mesh, bs, degree)
 
 
 class Function:
@@ -206,7 +257,7 @@ def locate_dofs_geometrical(V: FunctionSpace, marker: Callable) -> np.ndarray:
     convention: ``lambda x: np.isclose(x[0], left) | ...``, reference
     ``hmm.py:606-630``) and returns a boolean mask of length N.
     """
-    x = V.mesh.vertices.T  # (dim, N)
+    x = V.tabulate_dof_coordinates().T  # (dim, N); P2 includes midpoints
     mask = np.asarray(marker(x), dtype=bool)
     return np.nonzero(mask)[0].astype(np.int32)
 
@@ -215,12 +266,12 @@ def boundary_dofs(V: FunctionSpace, marker: Optional[Callable] = None) -> np.nda
     """Node indices on the mesh boundary, optionally filtered by a marker.
 
     Equivalent to ``locate_entities_boundary`` + ``locate_dofs_topological``
-    for P1 (reference ``hmm.py:606-635``): a P1 dof is a boundary dof iff its
-    vertex lies on a boundary facet.
+    (reference ``hmm.py:606-635``): a Lagrange dof is a boundary dof iff its
+    node (vertex, or edge midpoint for P2) lies on a boundary facet.
     """
-    bverts = V.mesh.boundary_vertices()
+    bnodes = V.boundary_nodes()
     if marker is None:
-        return bverts.astype(np.int32)
-    x = V.mesh.vertices[bverts].T
+        return bnodes.astype(np.int32)
+    x = V.tabulate_dof_coordinates()[bnodes].T
     mask = np.asarray(marker(x), dtype=bool)
-    return bverts[mask].astype(np.int32)
+    return bnodes[mask].astype(np.int32)

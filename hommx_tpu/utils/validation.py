@@ -50,6 +50,36 @@ def calc_l2_norm(mesh, u, bs: int = 1, exact: Optional[Callable] = None) -> floa
     )
 
 
+def l2_norm_space(u, exact: Optional[Callable] = None, degree: int = 4) -> float:
+    """L² norm of a Function (or of u - exact), degree-aware (P1 and P2).
+
+    ``calc_l2_norm`` is the P1 fast path; this one evaluates the actual
+    basis of ``u.space`` at quadrature points."""
+    import jax
+
+    from hommx_tpu.ops.elements import p1_basis_at, quad_points_physical
+    from hommx_tpu.ops.quadrature import simplex_rule
+
+    V = u.space
+    mesh = V.mesh
+    verts = jnp.asarray(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    xq, wq, _ = quad_points_physical(verts, cells, degree)
+    xi, _ = simplex_rule(mesh.dim, degree)
+    if V.degree == 1:
+        phi = p1_basis_at(jnp.asarray(xi))
+    else:
+        from hommx_tpu.ops.p2 import p2_basis
+
+        phi, _ = p2_basis(jnp.asarray(xi), mesh.dim)
+    uv = u.array.reshape(-1, V.bs)[jnp.asarray(V.cell_nodes())]  # (nc, nb, bs)
+    uq = jnp.einsum("qk,ckb->cqb", phi, uv)
+    if exact is not None:
+        ex = jax.vmap(jax.vmap(exact))(xq).reshape(uq.shape)
+        uq = uq - ex
+    return float(jnp.sqrt(jnp.sum(wq * jnp.sum(uq * uq, axis=-1))))
+
+
 def calc_h1_error(mesh, u1, u2, bs: int = 1) -> float:
     """H¹ seminorm of the difference of two P1 functions on the same mesh
     (the H1 parity metric of BASELINE.md)."""
