@@ -106,6 +106,11 @@ def eval_p1(func, points, cells=None):
     import jax.numpy as jnp
 
     V = func.space
+    if getattr(V, "degree", 1) != 1:
+        raise NotImplementedError(
+            "point evaluation of P2 functions is not implemented; "
+            "interpolate onto a P1 space first"
+        )
     mesh = V.mesh
     points = np.asarray(points, dtype=np.float64)[:, : mesh.dim]
     if cells is None:
