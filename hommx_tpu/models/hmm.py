@@ -256,8 +256,32 @@ class BaseHMM:
                     "dtype=jnp.float64 for high-contrast problems.",
                     contrast,
                 )
+            # zero-corrector fallback detector: the f32 PCG clamps columns
+            # whose energy never beats the zero corrector (bounded, physical,
+            # but stiffer than exact).  A cell is flagged when one of its
+            # generators sits at the zero-corrector bound while the median
+            # cell's corrector visibly lowers that generator's energy.
+            tiny = np.finfo(np.float64).tiny
+            ratio = d_star / np.maximum(d_zero, tiny)  # (nc, s)
+            med = np.median(ratio, axis=0)
+            fallback = ((ratio > 0.999) & (med[None, :] < 0.95)).any(axis=1)
+            fallback_cells = np.nonzero(fallback)[0]
+            if fallback_cells.size:
+                logger.warning(
+                    "%d cells returned the zero-corrector fallback tensor "
+                    "(float32 cell solve could not descend below the "
+                    "zero-corrector energy; typically extreme local "
+                    "conditioning). Result is a bounded upper-stiffness "
+                    "approximation — pass dtype=jnp.float64 for full "
+                    "accuracy. First cells: %s",
+                    fallback_cells.size,
+                    fallback_cells[:5].tolist(),
+                )
             self.diagnostics_contrast = contrast
+            self._fallback_cells = fallback_cells
 
+
+        fallback_cells = getattr(self, "_fallback_cells", np.array([], dtype=np.int64))
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
         if self._macro_jit is None:
             # Two stages: composing scatter-assembly with the CG while-loop
@@ -286,6 +310,7 @@ class BaseHMM:
             "macro_residual": res,
             "nan_cells": nan_cells,
             "diverged_cells": diverged_cells,
+            "fallback_cells": fallback_cells,
             "num_cells": int(sys.centers.shape[0]),
         }
         self._u = Function(self._V_macro, x)

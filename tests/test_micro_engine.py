@@ -143,3 +143,27 @@ def test_stratified_rotation_rotates_tensor():
     )
     Rn = np.asarray(R)
     assert np.allclose(T1, Rn @ T0 @ Rn.T, atol=1e-10)
+
+
+def test_differentiable_full_solve():
+    """grad through the ENTIRE HMM solve (micro + macro stages) with respect
+    to a coefficient parameter — the end-to-end differentiability the
+    reference's PETSc pipeline cannot express."""
+    import jax
+
+    from hommx_tpu import PoissonHMM, create_unit_square
+
+    macro = create_unit_square(6)
+    micro = create_unit_square(5)
+
+    def solution_energy(theta):
+        A = lambda x, y: 1.5 + theta * jnp.sin(2 * jnp.pi * y[0])
+        hmm = PoissonHMM(macro, A, lambda x: 1.0, micro, 0.01)
+        step, centers = hmm.build_pipeline()
+        u = step(centers)
+        return jnp.sum(u * u)
+
+    g = jax.grad(solution_energy)(0.5)
+    h = 1e-5
+    fd = (solution_energy(0.5 + h) - solution_energy(0.5 - h)) / (2 * h)
+    assert np.isclose(float(g), float(fd), rtol=1e-4), (g, fd)
