@@ -53,15 +53,24 @@ def _local_matrices(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
 
     Aq = jax.vmap(jax.vmap(coeff_mat))(xq)  # (nc, nq, r, r)
     if V.degree == 2:
-        if V.bs != 1:
-            raise NotImplementedError("vector P2 elements are not implemented")
         from hommx_tpu.ops.p2 import p2_basis
         from hommx_tpu.ops.quadrature import simplex_rule
 
         xi, _ = simplex_rule(d, degree)
         _, dlam = p2_basis(jnp.asarray(xi, sys.dtype), d)  # (nq, nb, d+1)
         B = jnp.einsum("qki,cid->cqkd", dlam, sys.grads)  # ∇φ at quad pts
-        return jnp.einsum("cq,cqkd,cqde,cqle->ckl", wq, B, Aq, B)
+        if V.bs == 1:
+            return jnp.einsum("cq,cqkd,cqde,cqle->ckl", wq, B, Aq, B)
+        # vector P2 elasticity: per-qp strain coefficients of basis (a, i):
+        # e(v_{a,i})_{kl} = ½(δ_ik ∂φ_a/∂x_l + δ_il ∂φ_a/∂x_k)
+        eye = jnp.eye(d, dtype=sys.dtype)
+        P = 0.5 * (
+            jnp.einsum("ik,cqal->cqaikl", eye, B)
+            + jnp.einsum("il,cqak->cqaikl", eye, B)
+        )
+        nb_nodes = B.shape[2]
+        P = P.reshape(B.shape[0], B.shape[1], nb_nodes * d, d * d)
+        return jnp.einsum("cq,cqmr,cqrt,cqnt->cmn", wq, P, Aq, P)
     if V.bs == 1:
         # S[a,b] = Σ_q w_q ∇λ_aᵀ A(x_q) ∇λ_b   (rows = test)
         return jnp.einsum("cq,cad,cqde,cbe->cab", wq, sys.grads, Aq, sys.grads)
@@ -83,11 +92,17 @@ def _load_vector(sys: MacroSystem, f_fn: Callable, degree: int):
     xq, wq, _ = quad_points_physical(sys.verts, sys.cells, degree)
     xi, _ = simplex_rule(V.mesh.dim, degree)
     phi, _ = p2_basis(jnp.asarray(xi, sys.dtype), V.mesh.dim)  # (nq, nb)
-    fvals = jax.vmap(jax.vmap(f_fn))(xq).reshape(wq.shape)
-    contrib = jnp.einsum("cq,qk->ck", wq * fvals, phi)
-    b = jnp.zeros(V.num_dofs, dtype=contrib.dtype)
     nodes = jnp.asarray(V.cell_nodes())
-    return b.at[nodes.reshape(-1)].add(contrib.reshape(-1))
+    if V.bs == 1:
+        fvals = jax.vmap(jax.vmap(f_fn))(xq).reshape(wq.shape)
+        contrib = jnp.einsum("cq,qk->ck", wq * fvals, phi)
+        b = jnp.zeros(V.num_dofs, dtype=contrib.dtype)
+        return b.at[nodes.reshape(-1)].add(contrib.reshape(-1))
+    fvals = jax.vmap(jax.vmap(f_fn))(xq).reshape(*wq.shape, V.bs)
+    contrib = jnp.einsum("cq,cqb,qk->ckb", wq, fvals, phi)
+    b = jnp.zeros(V.num_dofs, dtype=contrib.dtype)
+    dofs = (nodes[:, :, None] * V.bs + jnp.arange(V.bs)[None, None, :]).reshape(-1)
+    return b.at[dofs].add(contrib.reshape(-1))
 
 
 def fem_assemble_values(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
@@ -210,8 +225,9 @@ class LinearElasticityFEM:
         f,
         options: Optional[SolverOptions] = None,
         quad_degree: int = 2,
+        degree: int = 1,
     ):
-        self._V = FunctionSpace(msh, msh.dim)
+        self._V = FunctionSpace(msh, msh.dim, degree=degree)
         self._coeff = A
         self._f = f
         self._options = SolverOptions.from_any(options)

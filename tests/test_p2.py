@@ -111,14 +111,54 @@ def test_p2_variable_coefficient():
     assert np.log2(errs[0] / errs[1]) > 2.6, errs
 
 
-def test_p2_vector_not_implemented():
+def _hooke2(mu, lam):
+    I = jnp.eye(2)
+    return (
+        lam * jnp.einsum("ij,kl->ijkl", I, I)
+        + mu * (jnp.einsum("ik,jl->ijkl", I, I) + jnp.einsum("il,jk->ijkl", I, I))
+    )
+
+
+def test_p2_vector_elasticity_quadratic_exact():
+    """Vector P2: quadratic displacement fields are captured exactly.
+    u = (x², y²), constant Hooke (μ=1, λ=1): σ = λ tr(e) I + 2μ e with
+    e = diag(2x, 2y); f = -div σ = -(2λ+4μ, 2λ+4μ) constant."""
     mesh = create_unit_square(4, 4)
     V = FunctionSpace(mesh, 2, degree=2)
-    with pytest.raises(NotImplementedError):
-        fem_solve(
-            V,
-            lambda x: jnp.einsum("ik,jl->ijkl", jnp.eye(2), jnp.eye(2))
-            + jnp.einsum("il,jk->ijkl", jnp.eye(2), jnp.eye(2)),
-            lambda x: jnp.zeros(2),
-            [],
-        )
+    exact = lambda x: jnp.array([x[0] ** 2, x[1] ** 2])
+    g = Function(V).interpolate(exact)
+    bcs = [dirichletbc(g, boundary_dofs(V))]
+    mu, lam = 1.0, 1.0
+    f = lambda x: jnp.array([-(2 * lam + 4 * mu), -(2 * lam + 4 * mu)])
+    u = fem_solve(V, lambda x: _hooke2(mu, lam), f, bcs, quad_degree=4, rhs_degree=4)
+    err = l2_norm_space(u, exact=exact)
+    assert err < 1e-10, err
+
+
+def test_p2_vector_beats_p1():
+    """Clamped beam: P2 displacement at the same mesh is closer to a fine-P1
+    reference than P1 is (softening with element order)."""
+    import numpy as _np
+
+    from hommx_tpu import create_rectangle
+
+    mu, lam = 1.0, 1.25
+    f = lambda x: jnp.array([0.0, -0.01])
+
+    def clamp(V):
+        return [dirichletbc(_np.zeros(2),
+                            boundary_dofs(V, lambda x: _np.isclose(x[0], 0)), V)]
+
+    mesh = create_rectangle([[0, 0], [1.0, 0.2]], [10, 3])
+    V1 = FunctionSpace(mesh, 2, degree=1)
+    V2 = FunctionSpace(mesh, 2, degree=2)
+    u1 = fem_solve(V1, lambda x: _hooke2(mu, lam), f, clamp(V1))
+    u2 = fem_solve(V2, lambda x: _hooke2(mu, lam), f, clamp(V2), quad_degree=4)
+    tip1 = float(jnp.min(u1.array.reshape(-1, 2)[:, 1]))
+    tip2 = float(jnp.min(u2.array.reshape(-1, 2)[:, 1]))
+    # fine P1 reference
+    ref = create_rectangle([[0, 0], [1.0, 0.2]], [80, 24])
+    Vr = FunctionSpace(ref, 2, degree=1)
+    ur = fem_solve(Vr, lambda x: _hooke2(mu, lam), f, clamp(Vr))
+    tipr = float(jnp.min(ur.array.reshape(-1, 2)[:, 1]))
+    assert abs(tip2 - tipr) < abs(tip1 - tipr) / 3, (tip1, tip2, tipr)
