@@ -1,4 +1,4 @@
-"""Point evaluation of P1 functions and cross-mesh interpolation.
+"""Point evaluation of P1/P2 functions and cross-mesh interpolation.
 
 Replaces DOLFINx ``Function.eval`` (reference ``hmm.py:388-393``) and
 ``interpolate_nonmatching`` (reference ``test_integration_poisson.py:15-24``).
@@ -96,7 +96,7 @@ def _barycentric(cell_pts: np.ndarray, pt: np.ndarray) -> np.ndarray:
 
 
 def eval_p1(func, points, cells=None):
-    """Evaluate a P1 Function at arbitrary points.
+    """Evaluate a P1/P2 Function at arbitrary points.
 
     If ``cells`` is given the affine extension of that cell is used even if
     the point lies outside it — matching the reference's
@@ -106,12 +106,8 @@ def eval_p1(func, points, cells=None):
     import jax.numpy as jnp
 
     V = func.space
-    if getattr(V, "degree", 1) != 1:
-        raise NotImplementedError(
-            "point evaluation of P2 functions is not implemented; "
-            "interpolate onto a P1 space first"
-        )
     mesh = V.mesh
+    degree = getattr(V, "degree", 1)
     points = np.asarray(points, dtype=np.float64)[:, : mesh.dim]
     if cells is None:
         cells = locate_cells(mesh, points)
@@ -119,13 +115,31 @@ def eval_p1(func, points, cells=None):
     T = np.swapaxes(cp[:, 1:, :] - cp[:, :1, :], 1, 2)  # (np, d, d)
     xi = np.linalg.solve(T, (points - cp[:, 0, :])[..., None])[..., 0]
     lam = np.concatenate([1.0 - xi.sum(axis=1, keepdims=True), xi], axis=1)
-    uv = np.asarray(func.array).reshape(-1, V.bs)[mesh.cells[cells]]  # (np, d+1, bs)
-    vals = np.einsum("pa,pab->pb", lam, uv)
+    if degree == 1:
+        nodes = mesh.cells[cells]  # (np, d+1)
+        basis = lam
+    else:
+        from hommx_tpu.ops.p2 import EDGE_PAIRS
+
+        nodes = V.cell_nodes()[cells]  # (np, nb)
+        phi_v = lam * (2.0 * lam - 1.0)
+        phi_e = np.stack(
+            [4.0 * lam[:, i] * lam[:, j] for (i, j) in EDGE_PAIRS[mesh.dim]],
+            axis=1,
+        )
+        basis = np.concatenate([phi_v, phi_e], axis=1)
+    uv = np.asarray(func.array).reshape(-1, V.bs)[nodes]  # (np, nb, bs)
+    vals = np.einsum("pa,pab->pb", basis, uv)
     return jnp.asarray(vals if V.bs > 1 else vals[:, 0])
 
 
 def interpolate_nonmatching(V_to, func_from):
-    """Interpolate a P1 function onto another mesh's P1 space by nodal eval."""
+    """Interpolate a P1/P2 function onto another space by nodal evaluation.
+
+    Nodal (Lagrange) interpolation: evaluate ``func_from`` at every dof
+    coordinate of ``V_to`` — valid for both P1 and P2 targets since both are
+    nodal bases.  Reference: ``test_integration_poisson.py:15-24``.
+    """
     from hommx_tpu.ops.function_space import Function
 
     pts = V_to.tabulate_dof_coordinates()

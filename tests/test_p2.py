@@ -135,6 +135,34 @@ def test_p2_vector_elasticity_quadratic_exact():
     assert err < 1e-10, err
 
 
+def test_p2_point_eval_and_cross_mesh():
+    """P2 point evaluation is exact for quadratics (at arbitrary points, not
+    just nodes) and supports cross-mesh interpolation in both directions."""
+    from hommx_tpu.ops.interpolation import eval_p1, interpolate_nonmatching
+
+    exact = lambda x: 1 + x[0] ** 2 + 2 * x[0] * x[1]
+    V2 = FunctionSpace(create_unit_square(6, 6), 1, degree=2)
+    u2 = Function(V2).interpolate(exact)
+    pts = np.random.default_rng(0).uniform(0.05, 0.95, (40, 2))
+    vals = np.asarray(eval_p1(u2, pts))
+    ref = np.array([float(exact(p)) for p in pts])
+    assert np.abs(vals - ref).max() < 1e-12
+
+    # P2 -> P1 on a non-nested mesh: nodal values exact (source is exact)
+    V1 = FunctionSpace(create_unit_square(9, 9), 1)
+    g1 = interpolate_nonmatching(V1, u2)
+    ref1 = np.array([float(exact(p)) for p in V1.tabulate_dof_coordinates()])
+    assert np.abs(np.asarray(g1.array) - ref1).max() < 1e-12
+
+    # P1 -> P2: source is only piecewise linear, so compare against the
+    # source's own affine extension (cell-located eval), not the quadratic
+    u1 = Function(V1).interpolate(exact)
+    V2b = FunctionSpace(create_unit_square(7, 7), 1, degree=2)
+    g2 = interpolate_nonmatching(V2b, u1)
+    ref2 = np.asarray(eval_p1(u1, V2b.tabulate_dof_coordinates()))
+    assert np.abs(np.asarray(g2.array) - ref2).max() < 1e-12
+
+
 def test_p2_vector_beats_p1():
     """Clamped beam: P2 displacement at the same mesh is closer to a fine-P1
     reference than P1 is (softening with element order)."""
