@@ -92,11 +92,22 @@ class MacroSystem:
             self.slots = jnp.asarray(self.pattern.slots)
             self.cols = jnp.asarray(self.pattern.cols)
             self.diag_slots = jnp.asarray(self.pattern.diag_slots)
-            self.verts = jnp.asarray(V.mesh.vertices, dtype=dtype)
+            # Geometry is computed in f64 and kept both ways: the f64 shadows
+            # feed the f64 macro stage (direct-solve path — macro elasticity
+            # systems reach κ~1e7, where f32 matrix entries alone cost
+            # percent-level solution error), the dtype views feed the f32 CG
+            # pipeline.  Same lesson as the micro quadrature coordinates:
+            # geometry stays f64 regardless of the compute dtype.
             self.cells = jnp.asarray(V.mesh.cells)
-            grads, vols = cell_geometry(self.verts, self.cells)
-            self.grads = grads  # (nc, d+1, d)
-            self.vols = vols  # (nc,)
-            self.centers = jnp.mean(self.verts[self.cells], axis=1)  # c_T
+            self.verts64 = jnp.asarray(V.mesh.vertices, dtype=jnp.float64)
+            grads64, vols64 = cell_geometry(self.verts64, self.cells)
+            self.grads64, self.vols64 = grads64, vols64
+            self.verts = self.verts64.astype(dtype)
+            self.grads = grads64.astype(dtype)  # (nc, d+1, d)
+            self.vols = vols64.astype(dtype)  # (nc,)
+            self.centers = jnp.mean(
+                self.verts64[self.cells], axis=1
+            ).astype(dtype)  # c_T
             if V.bs > 1:
-                self.strain_P = strain_coefficients(grads, V.bs)  # (nc, nb, d²)
+                self.strain_P64 = strain_coefficients(grads64, V.bs)
+                self.strain_P = self.strain_P64.astype(dtype)  # (nc, nb, d²)

@@ -170,3 +170,40 @@ def test_stratified_elasticity_rotated_laminate_runs():
     vals = np.asarray(u.array).reshape(-1, 3)
     assert np.isfinite(vals).all()
     assert vals[:, 2].min() < 0, "beam should deflect downward"
+
+
+def test_f32_high_contrast_matches_f64():
+    """Float32 high-contrast elasticity (rotated stiff fiber, contrast 2e5)
+    must match the f64 solve to ~1e-4: per-cell diagonal scaling of the PCG
+    system plus the f64 macro stage (macro elasticity reaches kappa~1e7)
+    bound the f32 error at the attainable level.  Before those fixes the f32
+    tip error was ~4e-3 (over-stiff soft modes)."""
+    W = 0.4
+
+    def circle(a, b):
+        dx = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        dy = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (dx**2 + dy**2) < (2 * jnp.pi) ** 2 / 16
+
+    mu = lambda x, y: jnp.where(circle(y[1], y[2]), 100.0, 0.001)
+    A = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def Dtheta(x):
+        gamma = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(gamma), jnp.sin(gamma)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    def tip(dtype):
+        s = LinearElasticityStratifiedHMM(
+            create_box([[0, 0, 0], [1.0, W, 0.1]], [5, 2, 2]),
+            A, _gravity(3, 0.008), create_unit_cube(3), 2**-5, Dtheta,
+            dtype=dtype,
+        )
+        s.set_boundary_conditions(_clamp_left_bc(s.function_space))
+        u = s.solve()
+        assert not len(s.diagnostics["diverged_cells"])
+        return float(jnp.min(u.array.reshape(-1, 3)[:, 2]))
+
+    t64 = tip(jnp.float64)
+    t32 = tip(jnp.float32)
+    assert abs(t32 - t64) / abs(t64) < 1e-4, (t32, t64)
