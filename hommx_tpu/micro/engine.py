@@ -117,6 +117,7 @@ class MicroEngine:
         pcg_maxiter: int = 1500,
         diag_scale: bool = True,
         matmul_precision: Optional[str] = None,
+        micro_degree: int = 1,
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -127,9 +128,37 @@ class MicroEngine:
         self.d = d
         if bs not in (1, d):
             raise ValueError("bs must be 1 (scalar) or dim (vector)")
+        if micro_degree not in (1, 2):
+            raise ValueError("micro_degree must be 1 or 2")
+        self.micro_degree = int(micro_degree)
         self.r = d if bs == 1 else d * d  # gradient components per element
         self.s = d if bs == 1 else d * d  # number of generator problems
-        self.pmap = build_periodic_map(micro_mesh)
+        if micro_degree == 2:
+            # P2 cell problems: periodic identification extends to edge-
+            # midpoint dofs by the same hi→lo fold rule (periodic.py); the
+            # engine's per-element pipeline is reused unchanged by treating
+            # each (element, quadrature point) pair as an "effective element"
+            # with its own constant gradient operator (see
+            # _build_operators_impl).
+            from hommx_tpu.micro.periodic import build_periodic_map_points
+            from hommx_tpu.ops.p2 import (
+                build_edges,
+                p2_cell_dofs,
+                p2_dof_coordinates,
+            )
+
+            edges, cell_edges = build_edges(
+                micro_mesh.cells, micro_mesh.num_vertices
+            )
+            self._node_cells = p2_cell_dofs(
+                micro_mesh.cells, cell_edges, micro_mesh.num_vertices
+            )
+            self.pmap = build_periodic_map_points(
+                p2_dof_coordinates(micro_mesh.vertices, edges)
+            )
+        else:
+            self._node_cells = micro_mesh.cells
+            self.pmap = build_periodic_map(micro_mesh)
         self.n_reduced = self.pmap.n_reduced * self.bs
         self.volume_Y = micro_mesh.volume()
         if assembly == "auto":
@@ -198,32 +227,69 @@ class MicroEngine:
         verts = jnp.asarray(mesh.vertices, dtype=f64)
         cells = jnp.asarray(mesh.cells)
         grads, vols = cell_geometry(verts, cells)  # (ne, d+1, d), (ne,)
-        xq, wq, _ = quad_points_physical(verts, cells, self.quad_degree)
+        quad_degree = self.quad_degree
+        if self.micro_degree == 2:
+            # ∇P2·∇P2 integrands are quadratic — degree-2 rules minimum
+            quad_degree = max(quad_degree, 2)
+        xq, wq, lam_q = quad_points_physical(verts, cells, quad_degree)
         ne, nq = wq.shape
-        self.nE, self.nq = ne, nq
-        self.yq = np.asarray(xq)  # (ne, nq, d) micro quadrature points (f64)
-        self.wq = np.asarray(wq)  # (ne, nq) weights, Σ = |Y|
+        grads_np = np.asarray(grads)  # (ne, d+1, d) = ∇λ_a per cell
 
-        red = self.pmap.reduced_index  # (nv,)
-        cells_np = mesh.cells
-        grads_np = np.asarray(grads)  # (ne, d+1, d)
-        nbl = (d + 1) * bs  # local dofs per micro element
+        red = self.pmap.reduced_index  # (n_nodes,)
+        node_cells = self._node_cells  # (ne, nnd): P1 vertices or P2 nodes
+        nnd = node_cells.shape[1]
+        nbl = nnd * bs  # local dofs per micro element
         self.nbl = nbl
 
-        # local gradient operator Draw: (ne, r, nbl)
-        Draw = np.zeros((ne, self.r, nbl), dtype=np.float64)
-        for a in range(d + 1):
-            if bs == 1:
-                Draw[:, :, a] = grads_np[:, a, :]
-            else:
-                for i in range(bs):
-                    # component i of vector dof (a, i) contributes grad_a[j]
-                    # to gradient entry H_{ij} (row i*d+j)
-                    Draw[:, i * d : (i + 1) * d, a * bs + i] = grads_np[:, a, :]
+        if self.micro_degree == 2:
+            # P2 gradients vary per quadrature point, so the P1 trick of
+            # folding quadrature into Ā_e does not apply across points.
+            # Instead each (element, q) pair becomes an *effective element*
+            # with constant gradients ∇φ_k(x_q) = Σ_i c[q,k,i]·∇λ_i and
+            # weight w_eq — the entire downstream engine (coefficient
+            # reduction, PCG, diagonal scaling, A* contraction) is reused
+            # verbatim with nE → ne·nq.
+            from hommx_tpu.ops.p2 import p2_basis
+
+            xi = np.asarray(lam_q)[:, 1:]  # local coords of the quad points
+            _, dlam = p2_basis(jnp.asarray(xi), d)  # (nq, nnd, d+1)
+            dphi = np.einsum(
+                "qki,eid->eqkd", np.asarray(dlam), grads_np
+            )  # (ne, nq, nnd, d)
+            ne_eff = ne * nq
+            dphi = dphi.reshape(ne_eff, nnd, d)
+            Draw = np.zeros((ne_eff, self.r, nbl), dtype=np.float64)
+            for a in range(nnd):
+                if bs == 1:
+                    Draw[:, :, a] = dphi[:, a, :]
+                else:
+                    for i in range(bs):
+                        Draw[:, i * d : (i + 1) * d, a * bs + i] = dphi[:, a, :]
+            node_cells = np.repeat(node_cells, nq, axis=0)  # (ne·nq, nnd)
+            self.yq = np.asarray(xq).reshape(ne_eff, 1, d)
+            self.wq = np.asarray(wq).reshape(ne_eff, 1)
+            ne, nq = ne_eff, 1
+        else:
+            # local gradient operator Draw: (ne, r, nbl) — P1 gradients are
+            # elementwise constant, so quadrature folds into Ā_e
+            Draw = np.zeros((ne, self.r, nbl), dtype=np.float64)
+            for a in range(d + 1):
+                if bs == 1:
+                    Draw[:, :, a] = grads_np[:, a, :]
+                else:
+                    for i in range(bs):
+                        # component i of vector dof (a, i) contributes
+                        # grad_a[j] to gradient entry H_{ij} (row i*d+j)
+                        Draw[:, i * d : (i + 1) * d, a * bs + i] = grads_np[
+                            :, a, :
+                        ]
+            self.yq = np.asarray(xq)  # (ne, nq, d) quadrature points (f64)
+            self.wq = np.asarray(wq)  # (ne, nq) weights, Σ = |Y|
+        self.nE, self.nq = ne, nq
         self.Draw = jnp.asarray(Draw, dtype=self.dtype)
 
         # local -> reduced dof map (ne, nbl)
-        red_cells = red[cells_np]  # (ne, d+1)
+        red_cells = red[node_cells]  # (ne, nnd)
         if bs == 1:
             loc2red = red_cells
         else:
@@ -321,6 +387,9 @@ class MicroEngine:
         Ae: (ne, r, r) per-element reduced coefficient (see element_coeff).
         G:  optional Dθᵀ(c_T) gradient map (stratified variants).
         """
+        Ae = jnp.asarray(Ae, dtype=self.dtype)
+        if G is not None:
+            G = jnp.asarray(G, dtype=self.dtype)
         T = self._grad_map(G)
         # test/trial-mapped per-element coefficient blocks:
         #   K-side:  Tᵀ Ā T   (both sides correctors)

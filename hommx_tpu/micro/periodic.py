@@ -23,7 +23,7 @@ import numpy as np
 
 from hommx_tpu.meshes.simplex import SimplexMesh
 
-__all__ = ["PeriodicMap", "build_periodic_map"]
+__all__ = ["PeriodicMap", "build_periodic_map", "build_periodic_map_points"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,39 +59,55 @@ def build_periodic_map(mesh: SimplexMesh, rtol: float = 1e-5, atol: float = 1e-8
     """
     if mesh.dim == 1:
         raise ValueError("Periodic boundary conditions in 1d not implemented.")
+    return build_periodic_map_points(mesh.vertices)
+
+
+def build_periodic_map_points(
+    points: np.ndarray, rtol: float = 1e-5, atol: float = 1e-8
+) -> PeriodicMap:
+    """Slave→master map for an arbitrary point set on a box (same fold rule).
+
+    Used for P1 vertices and for P2 dof points (vertices + edge midpoints):
+    an edge midpoint on a "hi" face folds to the matching "lo"-face midpoint
+    by exactly the vertex rule, so higher-order periodic spaces need no new
+    constraint machinery (contrast the reference's per-entity dolfinx_mpc
+    call hierarchy, ``cell_problem.py:16-300``).
+    """
     from hommx_tpu import native
 
-    res = native.periodic_match_native(mesh.vertices, rtol, atol)
+    points = np.asarray(points, dtype=np.float64)
+    n = points.shape[0]
+    res = native.periodic_match_native(points, rtol, atol)
     if res is not None:
         masters, is_slave = res
-        return _finalize(mesh.num_vertices, masters, is_slave)
-    x = mesh.vertices
+        return _finalize(n, masters, is_slave)
+    x = points
     lo = x.min(axis=0)
     hi = x.max(axis=0)
     span = hi - lo
-    on_hi = np.isclose(x, hi[None, :], rtol=rtol, atol=atol)  # (nv, d)
+    on_hi = np.isclose(x, hi[None, :], rtol=rtol, atol=atol)  # (n, d)
     is_slave = on_hi.any(axis=1)
 
     target = np.where(on_hi, lo[None, :], x)
-    # match targets to vertices by quantized coordinates
+    # match targets to points by quantized coordinates
     scale = np.where(span > 0, span, 1.0)
     key_of = lambda pts: [
         tuple(row) for row in np.round((pts - lo) / scale * 1e12).astype(np.int64)
     ]
     lookup = {k: i for i, k in enumerate(key_of(x))}
-    masters = np.arange(mesh.num_vertices, dtype=np.int64)
+    masters = np.arange(n, dtype=np.int64)
     slave_ids = np.nonzero(is_slave)[0]
     for v in slave_ids:
         k = key_of(target[v : v + 1])[0]
         m = lookup.get(k)
         if m is None:
             raise ValueError(
-                f"periodic master for vertex {v} at {x[v]} not found; "
+                f"periodic master for point {v} at {x[v]} not found; "
                 "micro mesh faces do not match periodically"
             )
         masters[v] = m
 
-    return _finalize(mesh.num_vertices, masters, is_slave)
+    return _finalize(n, masters, is_slave)
 
 
 def _finalize(nv: int, masters: np.ndarray, is_slave: np.ndarray) -> PeriodicMap:

@@ -167,3 +167,88 @@ def test_differentiable_full_solve():
     h = 1e-5
     fd = (solution_energy(0.5 + h) - solution_energy(0.5 - h)) / (2 * h)
     assert np.isclose(float(g), float(fd), rtol=1e-4), (g, fd)
+
+
+# -- P2 micro cell problems ---------------------------------------------------
+
+
+def test_p2_micro_constant_coefficient_exact():
+    """Constant coefficients give zero correctors and A* = A exactly for the
+    P2 micro space (the quadrature rule integrates the P2 gradients exactly,
+    so the RHS vanishes identically)."""
+    x0 = jnp.zeros(2)
+    eng = MicroEngine(create_unit_square(4, 4), dtype=jnp.float64, micro_degree=2)
+    Astar, X = eng.cell_tensor(eng.element_coeff(lambda x, y: 3.0, x0))
+    assert float(jnp.abs(Astar - 3 * jnp.eye(2)).max()) < 1e-13
+    assert float(jnp.abs(X).max()) < 1e-13
+    # elasticity: A* = C for a constant Hooke tensor
+    C = hooke_tensor(2, lambda x, y: 1.0, lambda x, y: 1.25)
+    ee = MicroEngine(
+        create_unit_square(3, 3), bs=2, coeff_kind="tensor4",
+        dtype=jnp.float64, micro_degree=2,
+    )
+    Ast, _ = ee.cell_tensor(ee.element_coeff(C, x0))
+    Cmat = np.asarray(C(x0, x0)).reshape(4, 4)
+    assert float(jnp.abs(Ast - Cmat).max()) < 1e-13
+
+
+def test_p2_micro_beats_p1_and_converges():
+    """Smooth-coefficient homogenized tensor: P2 at the same micro mesh is an
+    order of magnitude closer to a fine-P1 reference than P1, and refines at
+    a higher rate."""
+    x0 = jnp.zeros(2)
+    A = lambda x, y: 2.0 + jnp.sin(2 * jnp.pi * y[0]) * jnp.cos(2 * jnp.pi * y[1])
+    t_eng = MicroEngine(create_unit_square(64, 64), dtype=jnp.float64)
+    truth, _ = t_eng.cell_tensor(t_eng.element_coeff(A, x0))
+
+    def err(n, degree):
+        e = MicroEngine(
+            create_unit_square(n, n), dtype=jnp.float64,
+            micro_degree=degree, quad_degree=4,
+        )
+        a, _ = e.cell_tensor(e.element_coeff(A, x0))
+        return float(jnp.abs(a - truth).max() / jnp.abs(truth).max())
+
+    e1 = err(8, 1)
+    e2_4, e2_8 = err(4, 2), err(8, 2)
+    assert e2_8 < e1 / 10, (e1, e2_8)
+    assert np.log2(e2_4 / e2_8) > 2.5, (e2_4, e2_8)  # ~O(h³+) for A*
+
+
+def test_p2_micro_3d_and_stratified():
+    """3D P2 const-coefficient exactness; the stratified identity map G = I
+    reproduces the unmapped P2 tensors exactly."""
+    eng = MicroEngine(create_unit_cube(3), dtype=jnp.float64, micro_degree=2)
+    Astar, _ = eng.cell_tensor(eng.element_coeff(lambda x, y: 2.0, jnp.zeros(3)))
+    assert float(jnp.abs(Astar - 2 * jnp.eye(3)).max()) < 1e-13
+    A = lambda x, y: 2.0 + jnp.sin(2 * jnp.pi * y[0]) * jnp.cos(2 * jnp.pi * y[1])
+    es = MicroEngine(create_unit_square(6, 6), dtype=jnp.float64, micro_degree=2)
+    Ae = es.element_coeff(A, jnp.zeros(2))
+    a_plain, _ = es.cell_tensor(Ae)
+    a_G, _ = es.cell_tensor(Ae, jnp.eye(2))
+    assert float(jnp.abs(a_plain - a_G).max()) == 0.0
+
+
+def test_p2_micro_hmm_end_to_end():
+    """PoissonHMM with P2 micro cell problems (engine_kwargs passthrough):
+    the macro solution at an 8x8 micro mesh lands ~20x closer to the fine
+    P1-micro reference than the P1-micro solution at the same mesh."""
+    from hommx_tpu import PoissonHMM
+
+    A = lambda x, y: (2.0 + jnp.sin(2 * jnp.pi * y[0]) * jnp.cos(2 * jnp.pi * y[1])) * (
+        1.1 + x[0]
+    )
+
+    def solve(micro_n, **kw):
+        s = PoissonHMM(
+            create_unit_square(8, 8), A, lambda x: 1.0,
+            create_unit_square(micro_n, micro_n), 2**-4, dtype=jnp.float64, **kw,
+        )
+        return np.asarray(s.solve().array)
+
+    u_t = solve(32)
+    u1 = solve(8)
+    u2 = solve(8, quad_degree_micro=4, engine_kwargs={"micro_degree": 2})
+    r1 = np.linalg.norm(u1 - u_t) / np.linalg.norm(u_t)
+    r2 = np.linalg.norm(u2 - u_t) / np.linalg.norm(u_t)
+    assert r2 < r1 / 10, (r1, r2)
