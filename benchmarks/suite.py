@@ -128,8 +128,10 @@ def main():
     def c4():
         macro = create_box([[0, 0, 0], [1.0, 0.4, 0.4]], [6, 3, 3] if q else [10, 3, 3])
         micro = create_unit_cube(4)
+        # f32 is accurate here since the diag-scaled PCG + f64 macro stage +
+        # full-f32 matmul precision fixes (docs/performance.md): 1e-5-class
         s = LinearElasticityHMM(macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.01]),
-                                micro, 2**-5, dtype=f64)
+                                micro, 2**-5, dtype=f32 if on_tpu else f64)
         s.set_boundary_conditions(
             dirichletbc(np.zeros(3),
                         boundary_dofs(s.function_space, lambda x: np.isclose(x[0], 0)),
@@ -151,7 +153,7 @@ def main():
         micro = create_unit_cube(4)
         s = LinearElasticityStratifiedHMM(
             macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.008]), micro, 2**-5,
-            Dtheta3, dtype=f64)
+            Dtheta3, dtype=f32 if on_tpu else f64)
         s.set_boundary_conditions(
             dirichletbc(np.zeros(3),
                         boundary_dofs(s.function_space, lambda x: np.isclose(x[0], 0)),
