@@ -204,6 +204,35 @@ class BaseHMM:
             self._A_star = jax.block_until_ready(self._tensor_jit(self._sys.centers))
         return self._A_star
 
+    def cell_correctors(self, cells=None):
+        """Generator correctors on the micro mesh for selected macro cells.
+
+        Replaces the reference's per-(cell, basis-function) corrector solves
+        (``hmm.py:397-432``) with one batched call.  The s correctors span
+        the cell-problem solutions: the corrector for macro basis gradient g
+        is ``X @ coeffs(g)`` by linearity (Poisson: coeffs = g itself;
+        elasticity: the symmetrized generator expansion).
+
+        Args:
+            cells: macro cell indices (default: all cells).
+        Returns:
+            (A_star, X_full): homogenized tensors (nc_sel, s, s) and
+            correctors (nc_sel, n_micro_nodes·bs, s) expanded back to the
+            full periodic micro node set (P2 micro spaces include edge
+            nodes after the vertex block).
+        """
+        centers = self._sys.centers
+        if cells is not None:
+            centers = centers[jnp.asarray(np.asarray(cells))]
+        A_star, X = self._engine.tensors_for_centers(
+            self._coeff, centers, G_fn=self._G_fn(), with_correctors=True
+        )
+        eng = self._engine
+        red = np.asarray(eng.pmap.reduced_index)  # (n_nodes,)
+        comp = np.arange(eng.bs)
+        idx = (red[:, None] * eng.bs + comp[None, :]).reshape(-1)
+        return A_star, X[:, jnp.asarray(idx), :]
+
     def local_stiffness(self) -> jnp.ndarray:
         """S_loc per cell, (nc, nb, nb) — equals the reference's per-cell
         output ``S_loc * |T|/|Y|`` (``hmm.py:366-369``)."""

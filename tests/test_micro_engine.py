@@ -252,3 +252,34 @@ def test_p2_micro_hmm_end_to_end():
     r1 = np.linalg.norm(u1 - u_t) / np.linalg.norm(u_t)
     r2 = np.linalg.norm(u2 - u_t) / np.linalg.norm(u_t)
     assert r2 < r1 / 10, (r1, r2)
+
+
+def test_cell_correctors_public_api():
+    """BaseHMM.cell_correctors (reference hmm.py:397-432): correctors are
+    exactly periodic on the micro box and reconstruct A* via the corrected
+    fields; elasticity shapes carry bs components per node."""
+    from hommx_tpu import PoissonHMM
+
+    A = lambda x, y: 2.0 + jnp.sin(2 * jnp.pi * y[0])
+    s = PoissonHMM(
+        create_unit_square(4, 4), A, lambda x: 1.0,
+        create_unit_square(8, 8), 2**-4, dtype=jnp.float64,
+    )
+    Ast, X = s.cell_correctors(cells=[0, 5])
+    assert Ast.shape == (2, 2, 2) and X.shape == (2, 81, 2)
+    mesh = s._engine.mesh
+    v = np.asarray(mesh.vertices)
+    left = np.where(np.isclose(v[:, 0], 0))[0]
+    right = np.where(np.isclose(v[:, 0], 1))[0]
+    left = left[np.argsort(v[left, 1], kind="stable")]
+    right = right[np.argsort(v[right, 1], kind="stable")]
+    Xn = np.asarray(X[0])
+    assert np.abs(Xn[left] - Xn[right]).max() == 0.0  # exact periodicity
+    # reconstruct A* from the expanded correctors
+    eng = s._engine
+    Ae = np.asarray(eng.element_coeff(A, s._sys.centers[0]))
+    Xc = Xn[np.asarray(mesh.cells)]
+    DX = np.einsum("erl,els->ers", np.asarray(eng.Draw), Xc)
+    Phi = np.asarray(eng.E)[None] + DX
+    Ast_re = np.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / eng.volume_Y
+    assert np.abs(Ast_re - np.asarray(Ast[0])).max() < 1e-12
