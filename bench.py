@@ -35,7 +35,14 @@ def main():
     # Workload: 2D Poisson HMM micro stage — 32768 macro quadrature points,
     # 16x16 unit-cell micro mesh (n_red = 256), d = 2 generator solves each.
     micro = create_unit_square(16, 16)
-    engine = MicroEngine(micro, bs=1, coeff_kind="scalar", quad_degree=2, dtype=dtype)
+    # The workload coefficient is exactly rank-2 over cells (affine-in-x
+    # plus an x-independent oscillation), so the low-rank coefficient path
+    # applies exactly (engine.check_coeff_rank residual ~5e-13): per-cell K
+    # assembly is replaced by 2 shared basis Grams (see engine.coeff_rank).
+    engine = MicroEngine(
+        micro, bs=1, coeff_kind="scalar", quad_degree=2, dtype=dtype,
+        coeff_rank=2,
+    )
 
     n_cells = 32768
     rng = np.random.default_rng(0)
@@ -43,7 +50,9 @@ def main():
     def coeff(x, y):
         return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
 
-    chunk = 2048 if on_tpu else 256
+    # the low-rank path materializes no per-cell K, so large chunks fit
+    # comfortably and amortize the factorization + basis-Gram setup
+    chunk = 8192 if on_tpu else 256
 
     @jax.jit
     def run(c):

@@ -118,6 +118,7 @@ class MicroEngine:
         diag_scale: bool = True,
         matmul_precision: Optional[str] = None,
         micro_degree: int = 1,
+        coeff_rank: int = 0,
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -204,6 +205,16 @@ class MicroEngine:
         ):
             matmul_precision = "highest"
         self.matmul_precision = matmul_precision
+        # Low-rank coefficient structure (opt-in, scalar coefficients only):
+        # when A(x, y) = Σ_k f_k(x) g_k(y) with ≤ coeff_rank terms, the
+        # per-element reduction a(c, e) has rank ≤ coeff_rank over the cell
+        # batch, so K(c) = Σ_k u_k(c) K_k with coeff_rank *shared* basis
+        # Gram matrices — per-cell K assembly (the densek bottleneck, ~80%
+        # of per-cell time) disappears and every PCG matvec becomes
+        # shared-operand matmuls.  EXACT when the declared rank covers the
+        # coefficient (verify with ``check_coeff_rank``); measured 2× on the
+        # 16×16-micro scalar benchmark.
+        self.coeff_rank = int(coeff_rank)
         self._K0inv = None
         self._K0diag = None
         self._build_operators()
@@ -627,6 +638,32 @@ class MicroEngine:
                 A_F = jnp.einsum("cmr,cemt->cert", T, Ae_blocks)
                 B_Phi = T
 
+        # Low-rank coefficient path (see __init__ on coeff_rank): factorize
+        # a ≈ U V through R anchor cells (f64 — interpolative, exact when the
+        # declared rank covers the coefficient), precompute R shared basis
+        # Grams K_k, and matvec as K p = Σ_k u_k (K_k p) — all shared-operand
+        # matmuls, no per-cell K.
+        lowrank = (
+            self.coeff_rank > 0
+            and scalar_sep
+            and B_K is None
+            and self.D is not None
+        )
+        if lowrank:
+            R = min(self.coeff_rank, C)
+            anchors = jnp.asarray(np.linspace(0, C - 1, R).astype(np.int64))
+            a64 = a.astype(jnp.float64)
+            V = a64[anchors]  # (R, nE)
+            U = (jnp.linalg.pinv(V @ V.T, rcond=1e-12) @ (V @ a64.T)).T
+            keepn = jnp.logical_not(self.pin_mask).astype(jnp.float64)
+            w = jnp.repeat(V, r, axis=1).reshape(R, nE * r)
+            D2_64 = D2.astype(jnp.float64)
+            Kb = jnp.einsum("kz,zn,zm->knm", w, D2_64, D2_64)
+            Kb = (Kb * keepn[None, :, None] * keepn[None, None, :]).astype(
+                self.dtype
+            )
+            U = U.astype(self.dtype)
+
         def expand(cols):  # (n, C, s) -> (nE, r, C, s) gradient fields
             return (D2 @ cols.reshape(n, C * s)).reshape(nE, r, C, s)
 
@@ -643,7 +680,11 @@ class MicroEngine:
 
         def matvec(P):
             Pk = P * keep
-            Kp = reduce_(apply_AK(expand(Pk)))
+            if lowrank:
+                KP = jnp.einsum("knm,mcs->kncs", Kb, Pk)
+                Kp = jnp.einsum("ck,kncs->ncs", U, KP)
+            else:
+                Kp = reduce_(apply_AK(expand(Pk)))
             return Kp * keep + pinf * P
 
         # RHS: F = -Σ_e D_eᵀ (Tᵀ Ā_e) E
@@ -703,6 +744,30 @@ class MicroEngine:
         Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
         return Astar
 
+    def check_coeff_rank(self, coeff, centers, rank: Optional[int] = None):
+        """Host-side residual of the rank-R interpolative factorization of
+        a(c, e) over the given cell centers.
+
+        Call once before enabling ``coeff_rank``: a residual at rounding
+        level (≲1e-6) means the declared rank covers the coefficient and the
+        low-rank path is numerically exact; a large residual means the
+        coefficient is not (numerically) of the form Σ_k f_k(x) g_k(y) with
+        ≤ R terms and ``coeff_rank`` must not be used.
+        """
+        rank = rank or self.coeff_rank or 1
+        centers = jnp.asarray(centers, dtype=self.dtype)
+        a = np.asarray(
+            jax.vmap(lambda x: self._raw_coeff(coeff, x))(centers),
+            dtype=np.float64,
+        )
+        if a.ndim != 2:
+            raise ValueError("coeff_rank applies to scalar coefficients only")
+        nc = a.shape[0]
+        anchors = np.linspace(0, nc - 1, min(rank, nc)).astype(int)
+        V = a[anchors]
+        U = np.linalg.pinv(V @ V.T, rcond=1e-12) @ (V @ a.T)
+        return float(np.abs(a - U.T @ V).max() / max(np.abs(a).max(), 1e-300))
+
     def nocorrector_tensors(self, coeff, centers, G_fn=None):
         """A⁰(c_T) = (1/|Y|) Σ_e Eᵀ Ā_e E — the zero-corrector tensors.
 
@@ -747,9 +812,12 @@ class MicroEngine:
         nc = centers.shape[0]
         chunk = chunk or self._auto_chunk(nc)
 
+        use_chunk = self.pcg_strategy == "matfree" or (
+            self.coeff_rank > 0 and self.coeff_kind == "scalar"
+        )
         if (
             self.solver == "pcg"
-            and self.pcg_strategy == "matfree"
+            and use_chunk
             and self.D is not None
             and not with_correctors
         ):

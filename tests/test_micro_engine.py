@@ -283,3 +283,24 @@ def test_cell_correctors_public_api():
     Phi = np.asarray(eng.E)[None] + DX
     Ast_re = np.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / eng.volume_Y
     assert np.abs(Ast_re - np.asarray(Ast[0])).max() < 1e-12
+
+
+def test_low_rank_coefficient_path_exact():
+    """coeff_rank: for coefficients of the form sum_k f_k(x) g_k(y) the
+    interpolative low-rank path is numerically exact (vs the direct solver),
+    and check_coeff_rank detects insufficient rank."""
+    A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])  # rank 2
+    mesh = create_unit_square(16, 16)
+    centers = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (256, 2)))
+    e0 = MicroEngine(mesh, dtype=jnp.float64)  # cholesky reference
+    t0 = np.asarray(e0.tensors_for_centers(A, centers))
+    e2 = MicroEngine(mesh, dtype=jnp.float64, coeff_rank=2, solver="pcg")
+    assert e2.check_coeff_rank(A, centers[:64]) < 1e-10
+    t2 = np.asarray(e2.tensors_for_centers(A, centers))
+    assert np.abs(t2 - t0).max() < 1e-9, np.abs(t2 - t0).max()
+    # a rank-3 coefficient is NOT covered by R=1 and the check says so
+    A3 = lambda x, y: 1.1 + x[0] * jnp.sin(2 * jnp.pi * y[0]) + x[1] * jnp.cos(
+        2 * jnp.pi * y[1]
+    )
+    assert e2.check_coeff_rank(A3, centers[:64], rank=1) > 0.1
+    assert e2.check_coeff_rank(A3, centers[:64], rank=3) < 1e-10
