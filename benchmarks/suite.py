@@ -82,8 +82,11 @@ def main():
         macro = create_rectangle([[0, 0], [5, 5]], [n, n])
         micro = create_unit_square(16, 16)
         A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+        # exactly rank-2 over cells (affine-in-x + x-independent term):
+        # the low-rank path is numerically exact (check_coeff_rank ~5e-13)
         return PoissonHMM(macro, A, lambda x: 1.0, micro, 1 / 2**5,
-                          dtype=f32 if on_tpu else f64)
+                          dtype=f32 if on_tpu else f64,
+                          engine_kwargs={"coeff_rank": 2, "solver": "pcg"})
 
     _run(c1, "2d_poisson_laminate", 2)
 
@@ -112,7 +115,8 @@ def main():
         micro = create_unit_cube(6)
         A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
         return PoissonHMM(macro, A, lambda x: 1.0, micro, 1 / 2**3,
-                          dtype=f32 if on_tpu else f64)
+                          dtype=f32 if on_tpu else f64,
+                          engine_kwargs={"coeff_rank": 2, "solver": "pcg"})
 
     _run(c3, "3d_poisson_cube", 3)
 

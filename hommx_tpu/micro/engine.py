@@ -837,18 +837,40 @@ class MicroEngine:
         return _map_chunked(one, centers, chunk)
 
     def _auto_chunk(self, nc: int) -> int:
-        # keep the dominant per-cell temporaries under ~1 GB: the assembled
-        # K (n_red²), the dense-D contraction intermediate Z (nE·r·n_red —
-        # dominant for elasticity), and the per-element coefficient blocks
+        # keep the dominant per-cell temporaries under ~1 GB
         itemsize = jnp.dtype(self.dtype).itemsize
         if jnp.dtype(self.dtype) == jnp.float64:
             itemsize *= 2  # TPU f64 emulation stores float32 pairs
-        z_term = self.nE * self.r * self.n_reduced if self.D is not None else 0
-        per_cell = (
-            2 * self.n_reduced * self.n_reduced
-            + 2 * z_term
-            + 4 * self.nE * self.r * max(self.r, self.nbl)
-        ) * itemsize
+        lowrank_path = (
+            self.solver == "pcg"
+            and self.D is not None
+            and self.coeff_rank > 0
+            and self.coeff_kind == "scalar"
+        )
+        if lowrank_path:
+            # the low-rank chunk PCG never materializes K; per-cell state is
+            # the gradient-field work arrays (nE·r·s) and the (n, s) Krylov
+            # vectors (X R P Z KP bX + einsum temporaries).  The plain
+            # matfree path deliberately keeps the old conservative estimate:
+            # chunk-level PCG is lockstep (a chunk iterates until its worst
+            # cell converges), and heterogeneous problems (the stratified
+            # wavy laminate) are 5× faster with small chunks that isolate
+            # the hard-cell tail — measured 33k vs 6.4k solves/s.
+            per_cell = (
+                16 * self.nE * self.r * self.s + 10 * self.n_reduced * self.s
+            ) * itemsize
+        else:
+            # per-cell dense path: the assembled K (n_red²), the dense-D
+            # contraction intermediate Z (nE·r·n_red — dominant for
+            # elasticity), and the per-element coefficient blocks
+            z_term = (
+                self.nE * self.r * self.n_reduced if self.D is not None else 0
+            )
+            per_cell = (
+                2 * self.n_reduced * self.n_reduced
+                + 2 * z_term
+                + 4 * self.nE * self.r * max(self.r, self.nbl)
+            ) * itemsize
         budget = 1 << 30
         return int(np.clip(budget // max(per_cell, 1), 1, max(nc, 1)))
 
