@@ -893,6 +893,12 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     rz = jnp.sum(R * Z, axis=0)  # (s,)
     fnorm = jnp.linalg.norm(F, axis=0) + eps
     rel0 = jnp.linalg.norm(R, axis=0) / fnorm
+    # the stall counter's update depends on the residuals, so under
+    # shard_map it is varying over the mesh axis; tie the *initial* counter
+    # to the data too (always 0) or the while_loop carry types mismatch
+    stall0 = jnp.asarray(0) + jnp.where(jnp.isfinite(rel0), 0.0, 0.0).sum().astype(
+        jnp.asarray(0).dtype
+    )
     best = (X, rel0)  # best-residual iterate per column: finite-precision CG
     # on ill-conditioned systems can drift upward after stagnating; returning
     # the best iterate bounds the error at the f32-attainable level instead
@@ -930,7 +936,7 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
         stall = jnp.where(jnp.any(improved), 0, stall + 1)
         return X, R, P, rz_new, k + 1, bX, brel, stall
 
-    state = (X, R, P, rz, jnp.array(0), best[0], best[1], jnp.array(0))
+    state = (X, R, P, rz, jnp.array(0), best[0], best[1], stall0)
     out = jax.lax.while_loop(cond, body, state)
     bX = out[5]
     # energy clamp: the CG energy E(X) = ½⟨X,KX⟩ − ⟨F,X⟩ of the returned
@@ -954,6 +960,10 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
     rz = jnp.sum(R * Z, axis=0)  # (C, s)
     fnorm = jnp.sqrt(jnp.sum(F * F, axis=0)) + eps
     rel0 = jnp.sqrt(jnp.sum(R * R, axis=0)) / fnorm
+    # data-tied initial stall counter (see _block_pcg_matfree)
+    stall0 = jnp.asarray(0) + jnp.where(jnp.isfinite(rel0), 0.0, 0.0).sum().astype(
+        jnp.asarray(0).dtype
+    )
     # best-residual iterate per column (see _block_pcg_matfree)
 
     def cond(state):
@@ -985,7 +995,7 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
         stall = jnp.where(jnp.any(improved), 0, stall + 1)
         return X, R, P, rz_new, k + 1, bX, brel, stall
 
-    state = (X, R, P, rz, jnp.array(0), X, rel0, jnp.array(0))
+    state = (X, R, P, rz, jnp.array(0), X, rel0, stall0)
     out = jax.lax.while_loop(cond, body, state)
     bX = out[5]
     # energy clamp (see _block_pcg_matfree)

@@ -434,11 +434,6 @@ class BaseHMM:
         options = self._options_global
         chunk = self._chunk
 
-        def one_tensor(x):
-            Ae = engine.element_coeff(coeff, x)
-            G = None if G_fn is None else jnp.asarray(G_fn(x), dtype=engine.dtype)
-            return engine.cell_tensor(Ae, G)[0]
-
         def micro_stage(centers):
             if shard_mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -448,8 +443,13 @@ class BaseHMM:
                     from jax.experimental.shard_map import shard_map as _sm
 
                     shard_map = _sm
+                # each shard runs the full engine strategy stack (densek /
+                # matfree / low-rank chunk PCG) on its local cell block, so
+                # multi-chip inherits every single-chip optimization
                 return shard_map(
-                    jax.vmap(one_tensor),
+                    lambda cs: engine.tensors_for_centers(
+                        coeff, cs, G_fn=G_fn, chunk=chunk
+                    ),
                     mesh=shard_mesh,
                     in_specs=P(shard_mesh.axis_names[0]),
                     out_specs=P(shard_mesh.axis_names[0]),
