@@ -102,8 +102,11 @@ def main():
                 [[-2 * jnp.pi * jnp.cos(2 * jnp.pi * x[0]), 1.0], [1.0, 0.0]]
             )
 
+        # the FFT-symbol preconditioner sees each cell's G^T G anisotropy
+        # (shared K0^-1 cannot): 2.7x on TPU (37k -> 100k solves/s)
         s = PoissonStratifiedHMM(macro, A, lambda x: 1.0, micro, 2**-4, Dtheta,
-                                 dtype=f32 if on_tpu else f64)
+                                 dtype=f32 if on_tpu else f64,
+                                 engine_kwargs={"cell_prec": "fft"})
         return s
 
     _run(c2, "2d_stratified_wavy_laminate", 2)

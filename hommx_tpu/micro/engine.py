@@ -119,6 +119,7 @@ class MicroEngine:
         matmul_precision: Optional[str] = None,
         micro_degree: int = 1,
         coeff_rank: int = 0,
+        cell_prec: str = "k0inv",
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -215,6 +216,19 @@ class MicroEngine:
         # coefficient (verify with ``check_coeff_rank``); measured 2× on the
         # 16×16-micro scalar benchmark.
         self.coeff_rank = int(coeff_rank)
+        # cell_prec="fft": FFT-symbol preconditioner for the chunk PCG
+        # (scalar P1 on structured box meshes).  The reduced periodic dof
+        # space is exactly the ix-major torus grid and the constant-
+        # coefficient operator K(B) is block-circulant, so its DFT symbol —
+        # LINEAR in B's entries — diagonalizes it exactly
+        # (benchmarks/fft_preconditioner_feasibility.py).  Per cell the
+        # preconditioner uses the mean coefficient and the cell's GᵀG
+        # anisotropy, removing the iteration cost of the stratified maps
+        # that the shared isotropic K₀⁻¹ cannot see.
+        if cell_prec not in ("k0inv", "fft"):
+            raise ValueError("cell_prec must be 'k0inv' or 'fft'")
+        self.cell_prec = cell_prec
+        self._fft_syms = None
         self._K0inv = None
         self._K0diag = None
         self._build_operators()
@@ -351,6 +365,8 @@ class MicroEngine:
         )
         if self.solver == "pcg":
             self._get_K0inv()  # build eagerly — np.linalg.inv can't trace
+        if self.cell_prec == "fft":
+            self._get_fft_symbols()  # eager — host FFT can't trace
 
     # -- coefficient reduction ----------------------------------------------
     def element_coeff(self, coeff: Callable, x_center: jnp.ndarray) -> jnp.ndarray:
@@ -697,10 +713,57 @@ class MicroEngine:
             AE = jnp.einsum("cert,ts->ercs", A_F, E)
         F = -reduce_(AE) * keep
 
-        Minv = self._get_K0inv()
+        fft_prec = self.cell_prec == "fft" and scalar_sep
+        if fft_prec:
+            # per-cell constant-coefficient symbol: volume-mean coefficient
+            # times the cell's (possibly anisotropic) B_K = GᵀG, assembled
+            # from the precomputed basis symbols (linear in B's entries)
+            syms, grid = self._get_fft_symbols()
+            d_ = self.d
+            nsym = syms.shape[0]
+            if B_K is None:
+                coords = jnp.concatenate(
+                    [
+                        jnp.ones((C, d_), dtype=self.dtype),
+                        jnp.zeros((C, nsym - d_), dtype=self.dtype),
+                    ],
+                    axis=1,
+                )
+            else:
+                diag_c = jnp.stack([B_K[:, i, i] for i in range(d_)], axis=1)
+                off = [
+                    B_K[:, i, j]
+                    for i in range(d_)
+                    for j in range(i + 1, d_)
+                ]
+                coords = (
+                    jnp.concatenate([diag_c, jnp.stack(off, axis=1)], axis=1)
+                    if off
+                    else diag_c
+                ).astype(self.dtype)
+            abar = jnp.sum(a, axis=1) / self.volume_Y  # (C,) mean coefficient
+            sym_c = jnp.einsum("ck,k...->c...", coords * abar[:, None], syms)
+            smax = jnp.max(
+                jnp.abs(sym_c), axis=tuple(range(1, 1 + d_)), keepdims=True
+            )
+            # the zero-frequency symbol is exactly 0 (constant nullspace,
+            # handled by pinning): replace with the max to keep the
+            # preconditioner SPD on the full space
+            sym_c = jnp.where(jnp.abs(sym_c) > 1e-8 * smax, sym_c, smax)
+            sym_b = jnp.moveaxis(sym_c, 0, -1)[..., None]  # (*grid, C, 1)
+            fft_axes = tuple(range(d_))
 
-        def prec(R):
-            return (Minv @ R.reshape(n, C * s)).reshape(n, C, s)
+            def prec(R):  # (n, C, s): exact inverse at the mean coefficient
+                Rg = R.reshape(*grid, C, s)
+                Rh = jnp.fft.fftn(Rg, axes=fft_axes)
+                out = jnp.fft.ifftn(Rh / sym_b, axes=fft_axes).real
+                return out.astype(R.dtype).reshape(n, C, s)
+
+        else:
+            Minv = self._get_K0inv()
+
+            def prec(R):
+                return (Minv @ R.reshape(n, C * s)).reshape(n, C, s)
 
         if self.diag_scale:
             # Proxy diagonal from per-element mean coefficient magnitudes:
@@ -726,8 +789,18 @@ class MicroEngine:
             sc = jnp.where(
                 bad, 1.0, jnp.sqrt(d0p[:, None] / jnp.where(bad, 1.0, dp))
             ).astype(self.dtype)[:, :, None]  # (n, C, 1)
+            if fft_prec:
+                # the FFT prec approximates K⁻¹; on the scaled system the
+                # matching preconditioner is the congruence S⁻¹ K⁻¹ S⁻¹
+                # (K₀⁻¹ is used raw by design: scaling matches diag(SKS) to
+                # diag(K₀))
+                inv_sc = 1.0 / sc
+                base_prec = prec
+                prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
+            else:
+                prec_eff = prec
             Y = _chunk_pcg(
-                lambda P: sc * matvec(sc * P), prec, sc * F,
+                lambda P: sc * matvec(sc * P), prec_eff, sc * F,
                 self.pcg_tol, self.pcg_maxiter,
             )
             X = sc * Y
@@ -743,6 +816,58 @@ class MicroEngine:
             APhi = jnp.einsum("cert,etcs->ercs", Ae_blocks, Phi)
         Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
         return Astar
+
+    def _get_fft_symbols(self):
+        """DFT symbols of the reduced periodic operator for a basis of
+        constant coefficients (see __init__ on cell_prec; feasibility in
+        benchmarks/fft_preconditioner_feasibility.py).
+
+        Returns (syms, grid): syms (nsym, *grid) real — symbols are real
+        because the circulant stencil is symmetric — where nsym = d +
+        d(d-1)/2 spans the symmetric constant coefficient matrices, and the
+        symbol of any constant B is the matching linear combination.
+        """
+        if self._fft_syms is None:
+            st = self.mesh.structure
+            if st is None or self.bs != 1 or self.micro_degree != 1:
+                raise ValueError(
+                    "cell_prec='fft' requires a structured box micro mesh, "
+                    "a scalar problem (bs=1) and P1 micro elements"
+                )
+            shape = tuple(int(x) for x in np.asarray(st.shape))
+            if int(np.prod(shape)) != self.n_reduced:
+                raise ValueError("reduced dof space is not the torus grid")
+            d = self.d
+            basis = []
+            for i in range(d):
+                E = np.zeros((d, d))
+                E[i, i] = 1.0
+                basis.append(E)
+            for i in range(d):
+                for j in range(i + 1, d):
+                    E = np.zeros((d, d))
+                    E[i, j] = E[j, i] = 1.0
+                    basis.append(E)
+            wsum = np.sum(np.asarray(self.wq, dtype=np.float64), axis=1)
+            D64 = np.asarray(self.Draw, dtype=np.float64)  # (nE, d, nbl)
+            loc2red = np.asarray(self.loc2red)
+            e0 = np.zeros(self.n_reduced)
+            e0[0] = 1.0
+            syms = []
+            for B in basis:
+                Ae = wsum[:, None, None] * B[None]
+                p_loc = e0[loc2red]  # (nE, nbl)
+                Dp = np.einsum("erl,el->er", D64, p_loc)
+                w = np.einsum("ert,et->er", Ae, Dp)
+                wl = np.einsum("erl,er->el", D64, w)
+                col = np.zeros(self.n_reduced)
+                np.add.at(col, loc2red.reshape(-1), wl.reshape(-1))
+                syms.append(np.fft.fftn(col.reshape(shape)).real)
+            self._fft_syms = (
+                jnp.asarray(np.stack(syms), dtype=self.dtype),
+                shape,
+            )
+        return self._fft_syms
 
     def check_coeff_rank(self, coeff, centers, rank: Optional[int] = None):
         """Host-side residual of the rank-R interpolative factorization of

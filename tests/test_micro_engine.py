@@ -304,3 +304,34 @@ def test_low_rank_coefficient_path_exact():
     )
     assert e2.check_coeff_rank(A3, centers[:64], rank=1) > 0.1
     assert e2.check_coeff_rank(A3, centers[:64], rank=3) < 1e-10
+
+
+def test_fft_symbol_preconditioner():
+    """cell_prec='fft': the per-cell FFT-symbol preconditioner gives the
+    same tensors as the shared K0^-1 (it only changes convergence, not the
+    solution), handles stratified G maps, and rejects unsupported setups."""
+    A = lambda x, y: jnp.where(jnp.cos(2 * jnp.pi * y[0]) < 0, 5.0, 0.05)
+
+    def Dtheta(x):
+        return jnp.array(
+            [[1.0, 0.0], [-0.4 * jnp.cos(2 * jnp.pi * x[0]) * 2 * jnp.pi, 1.0]]
+        ).T
+
+    mesh = create_unit_square(12, 12)
+    centers = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (32, 2)))
+    outs = {}
+    for prec in ("k0inv", "fft"):
+        eng = MicroEngine(mesh, dtype=jnp.float64, solver="pcg", cell_prec=prec)
+        eng.pcg_strategy = "matfree"
+        outs[prec] = np.asarray(
+            eng.tensors_for_centers(A, centers, G_fn=Dtheta)
+        )
+    diff = np.abs(outs["fft"] - outs["k0inv"]).max() / np.abs(outs["k0inv"]).max()
+    assert diff < 1e-8, diff
+    # unsupported: vector problems
+    with pytest.raises(ValueError):
+        MicroEngine(mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
+                    cell_prec="fft")
+    # unsupported: unknown preconditioner name
+    with pytest.raises(ValueError):
+        MicroEngine(mesh, cell_prec="nope")
