@@ -938,7 +938,8 @@ class MicroEngine:
         chunk = chunk or self._auto_chunk(nc)
 
         use_chunk = self.pcg_strategy == "matfree" or (
-            self.coeff_rank > 0 and self.coeff_kind == "scalar"
+            self.coeff_kind == "scalar"
+            and (self.coeff_rank > 0 or self.cell_prec == "fft")
         )
         if (
             self.solver == "pcg"
