@@ -63,3 +63,38 @@ def test_sharded_hmm_solve_matches(engine):
     hmm2._A_star = A_star
     u_sharded = hmm2.solve()
     assert float(jnp.max(jnp.abs(u_single.array - u_sharded.array))) < 1e-12
+
+
+def test_sharded_pipeline_strategy_stack(engine):
+    """build_pipeline(shard_mesh) runs the engine's full strategy stack per
+    shard: low-rank and FFT-preconditioned chunk PCG match the unsharded
+    pipeline exactly on an 8-device mesh."""
+    from jax.sharding import Mesh
+
+    from hommx_tpu import PoissonHMM
+    from hommx_tpu.models.hmm import PoissonStratifiedHMM
+
+    import numpy as np
+
+    mesh = Mesh(np.array(jax.devices()), ("cells",))
+    A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+
+    s1 = PoissonHMM(create_unit_square(8, 8), A, lambda x: 1.0,
+                    create_unit_square(8, 8), 2**-4,
+                    engine_kwargs={"coeff_rank": 2, "solver": "pcg"})
+    st_u, c = s1.build_pipeline()
+    st_s, _ = s1.build_pipeline(shard_mesh=mesh)
+    assert float(jnp.abs(jax.jit(st_u)(c) - jax.jit(st_s)(c)).max()) < 1e-12
+
+    def Dtheta(x):
+        return jnp.array(
+            [[1.0, 0.0], [-0.4 * jnp.cos(2 * jnp.pi * x[0]) * 2 * jnp.pi, 1.0]]
+        ).T
+
+    Aw = lambda x, y: jnp.where(jnp.cos(2 * jnp.pi * y[0]) < 0, 5.0, 0.05)
+    s2 = PoissonStratifiedHMM(create_unit_square(8, 8), Aw, lambda x: 1.0,
+                              create_unit_square(12, 12), 2**-4, Dtheta,
+                              engine_kwargs={"cell_prec": "fft"})
+    p_u, c2 = s2.build_pipeline()
+    p_s, _ = s2.build_pipeline(shard_mesh=mesh)
+    assert float(jnp.abs(jax.jit(p_u)(c2) - jax.jit(p_s)(c2)).max()) < 1e-12
