@@ -713,8 +713,57 @@ class MicroEngine:
             AE = jnp.einsum("cert,ts->ercs", A_F, E)
         F = -reduce_(AE) * keep
 
-        fft_prec = self.cell_prec == "fft" and scalar_sep
-        if fft_prec:
+        fft_prec = self.cell_prec == "fft"
+        if fft_prec and not scalar_sep:
+            # elasticity / tensor coefficients: (bs, bs) Hermitian symbol per
+            # frequency from the volume-mean coefficient block (includes the
+            # stratified strain map, already folded into A_K); per-frequency
+            # closed-form small-matrix inverse
+            from hommx_tpu.ops.elements import _inv_and_det
+
+            syms, grid = self._get_fft_symbols()  # (nsym, bs, bs, *grid)
+            bsz, d_ = self.bs, self.d
+            Bbar = jnp.sum(A_K, axis=1) / self.volume_Y  # (C, r, r)
+            Bbar = 0.5 * (Bbar + jnp.swapaxes(Bbar, -1, -2))
+            coords = jnp.concatenate(
+                [
+                    jnp.stack([Bbar[:, i, i] for i in range(r)], axis=1),
+                    jnp.stack(
+                        [
+                            Bbar[:, i, j]
+                            for i in range(r)
+                            for j in range(i + 1, r)
+                        ],
+                        axis=1,
+                    ),
+                ],
+                axis=1,
+            ).astype(syms.dtype)
+            # (*grid, C, bs, bs) per-frequency symbol
+            S = jnp.einsum("ck,kab...->...cab", coords, syms)
+            tr = jnp.einsum("...cii->...c", S)
+            alpha = jnp.max(jnp.abs(tr), axis=tuple(range(d_)))[
+                (None,) * d_ + (slice(None), None, None)
+            ] / bsz + jnp.asarray(1e-30, S.real.dtype)
+            eye = jnp.eye(bsz, dtype=S.dtype)
+            inv0, det = _inv_and_det(S)
+            bad = (jnp.abs(det) < 1e-10 * jnp.abs(alpha[..., 0, 0]) ** bsz)[
+                ..., None, None
+            ]
+            Sg = jnp.where(bad, alpha * eye, S)
+            inv, _ = _inv_and_det(Sg)
+            fft_axes = tuple(range(d_))
+
+            def prec(R):  # (n = nodes·bs, C, s)
+                Rg = R.reshape(*grid, bsz, C, s)
+                Rh = jnp.fft.fftn(Rg, axes=fft_axes)
+                Rv = jnp.moveaxis(Rh, -3, -1)  # (*grid, C, s, bs)
+                Xv = jnp.einsum("...cij,...csj->...csi", inv, Rv)
+                Xh = jnp.moveaxis(Xv, -1, -3)  # (*grid, bs, C, s)
+                out = jnp.fft.ifftn(Xh, axes=fft_axes).real
+                return out.astype(R.dtype).reshape(n, C, s)
+
+        elif fft_prec:
             # per-cell constant-coefficient symbol: volume-mean coefficient
             # times the cell's (possibly anisotropic) B_K = GᵀG, assembled
             # from the precomputed basis symbols (linear in B's entries)
@@ -829,42 +878,64 @@ class MicroEngine:
         """
         if self._fft_syms is None:
             st = self.mesh.structure
-            if st is None or self.bs != 1 or self.micro_degree != 1:
+            if st is None or self.micro_degree != 1:
                 raise ValueError(
-                    "cell_prec='fft' requires a structured box micro mesh, "
-                    "a scalar problem (bs=1) and P1 micro elements"
+                    "cell_prec='fft' requires a structured box micro mesh "
+                    "and P1 micro elements"
                 )
             shape = tuple(int(x) for x in np.asarray(st.shape))
-            if int(np.prod(shape)) != self.n_reduced:
+            bs = self.bs
+            if int(np.prod(shape)) * bs != self.n_reduced:
                 raise ValueError("reduced dof space is not the torus grid")
-            d = self.d
+            r = self.r
+            # symmetric basis of the canonical (r, r) coefficient blocks
             basis = []
-            for i in range(d):
-                E = np.zeros((d, d))
+            for i in range(r):
+                E = np.zeros((r, r))
                 E[i, i] = 1.0
                 basis.append(E)
-            for i in range(d):
-                for j in range(i + 1, d):
-                    E = np.zeros((d, d))
+            for i in range(r):
+                for j in range(i + 1, r):
+                    E = np.zeros((r, r))
                     E[i, j] = E[j, i] = 1.0
                     basis.append(E)
             wsum = np.sum(np.asarray(self.wq, dtype=np.float64), axis=1)
-            D64 = np.asarray(self.Draw, dtype=np.float64)  # (nE, d, nbl)
+            D64 = np.asarray(self.Draw, dtype=np.float64)  # (nE, r, nbl)
             loc2red = np.asarray(self.loc2red)
-            e0 = np.zeros(self.n_reduced)
-            e0[0] = 1.0
-            syms = []
+            syms = []  # per basis element: (bs, bs, *grid) complex symbol
             for B in basis:
                 Ae = wsum[:, None, None] * B[None]
-                p_loc = e0[loc2red]  # (nE, nbl)
-                Dp = np.einsum("erl,el->er", D64, p_loc)
-                w = np.einsum("ert,et->er", Ae, Dp)
-                wl = np.einsum("erl,er->el", D64, w)
-                col = np.zeros(self.n_reduced)
-                np.add.at(col, loc2red.reshape(-1), wl.reshape(-1))
-                syms.append(np.fft.fftn(col.reshape(shape)).real)
+                cols = []
+                for j in range(bs):  # unit impulse at node 0, component j
+                    e0 = np.zeros(self.n_reduced)
+                    e0[j] = 1.0
+                    p_loc = e0[loc2red]  # (nE, nbl)
+                    Dp = np.einsum("erl,el->er", D64, p_loc)
+                    w = np.einsum("ert,et->er", Ae, Dp)
+                    wl = np.einsum("erl,er->el", D64, w)
+                    col = np.zeros(self.n_reduced)
+                    np.add.at(col, loc2red.reshape(-1), wl.reshape(-1))
+                    # (grid..., bs): response at every node/component
+                    cols.append(col.reshape(shape + (bs,)))
+                blk = np.stack(cols, axis=-1)  # (grid..., bs_out, bs_in)
+                S = np.fft.fftn(blk, axes=tuple(range(len(shape))))
+                if bs == 1:
+                    # scalar circulant symbols are real; keep (*grid) shape
+                    syms.append(S.real[..., 0, 0])
+                else:
+                    # (bs_out, bs_in, *grid); Hermitian per frequency
+                    syms.append(np.moveaxis(S, (-2, -1), (0, 1)))
+            cdtype = (
+                self.dtype
+                if bs == 1
+                else (
+                    jnp.complex64
+                    if jnp.dtype(self.dtype) == jnp.float32
+                    else jnp.complex128
+                )
+            )
             self._fft_syms = (
-                jnp.asarray(np.stack(syms), dtype=self.dtype),
+                jnp.asarray(np.stack(syms), dtype=cdtype),
                 shape,
             )
         return self._fft_syms
@@ -937,9 +1008,10 @@ class MicroEngine:
         nc = centers.shape[0]
         chunk = chunk or self._auto_chunk(nc)
 
-        use_chunk = self.pcg_strategy == "matfree" or (
-            self.coeff_kind == "scalar"
-            and (self.coeff_rank > 0 or self.cell_prec == "fft")
+        use_chunk = (
+            self.pcg_strategy == "matfree"
+            or self.cell_prec == "fft"
+            or (self.coeff_rank > 0 and self.coeff_kind == "scalar")
         )
         if (
             self.solver == "pcg"

@@ -328,10 +328,16 @@ def test_fft_symbol_preconditioner():
         )
     diff = np.abs(outs["fft"] - outs["k0inv"]).max() / np.abs(outs["k0inv"]).max()
     assert diff < 1e-8, diff
-    # unsupported: vector problems
-    with pytest.raises(ValueError):
-        MicroEngine(mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
-                    cell_prec="fft")
+    # elasticity: (bs, bs) Hermitian symbol per frequency, same tensors
+    C_el = hooke_tensor(
+        2, lambda x, y: 1.0 + 0.5 * jnp.sin(2 * jnp.pi * y[0]), lambda x, y: 1.0
+    )
+    ref = MicroEngine(mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64)
+    t_ref = np.asarray(ref.tensors_for_centers(C_el, centers))
+    ef = MicroEngine(mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
+                     solver="pcg", cell_prec="fft")
+    t_f = np.asarray(ef.tensors_for_centers(C_el, centers))
+    assert np.abs(t_f - t_ref).max() / np.abs(t_ref).max() < 1e-8
     # unsupported: unknown preconditioner name
     with pytest.raises(ValueError):
         MicroEngine(mesh, cell_prec="nope")
