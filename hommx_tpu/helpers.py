@@ -64,5 +64,7 @@ def solve_diffusion_2d(epsilon: float, nx: int, A_callable: Callable) -> np.ndar
     bcs = [dirichletbc(0.0, boundary_dofs(V), V)]
     u = fem_solve(V, lambda x: A_callable(x), lambda x: 1.0, bcs)
     coords = V.tabulate_dof_coordinates()
-    ix = np.argsort(coords[:, 1] + coords[:, 0] * 1e3)
+    # lexicographic (x-major) order; a weighted-sum key would collide once
+    # nx >= weight (scrambling the grid silently)
+    ix = np.lexsort((coords[:, 1], coords[:, 0]))
     return np.asarray(u.array)[ix].reshape(nx + 1, nx + 1)

@@ -46,6 +46,7 @@ class BoxStructure:
     hi: np.ndarray  # (dim,)
     shape: tuple  # number of grid intervals per axis, e.g. (nx, ny)
     cells_per_box: int  # 2 triangles / 6 tets per grid box
+    diagonal: str = "right"  # 2D split direction (which triangle is t0)
 
 
 class SimplexMesh:
@@ -185,7 +186,7 @@ def create_rectangle(points, n, diagonal: str = "right") -> SimplexMesh:
         raise ValueError(f"unknown diagonal {diagonal!r}")
     cells = np.concatenate([t0[:, None, :], t1[:, None, :]], axis=1).reshape(-1, 3)
     structure = BoxStructure(
-        np.array([x0, y0]), np.array([x1, y1]), (nx, ny), 2
+        np.array([x0, y0]), np.array([x1, y1]), (nx, ny), 2, diagonal
     )
     return SimplexMesh(verts, cells, structure)
 
@@ -292,6 +293,7 @@ def rescale_mesh(msh: SimplexMesh, scale: float = 1.0, shift: Sequence[float] = 
             scale * msh.structure.hi + shift,
             msh.structure.shape,
             msh.structure.cells_per_box,
+            msh.structure.diagonal,
         )
     return SimplexMesh(verts, msh.cells.copy(), structure)
 

@@ -334,7 +334,10 @@ class BaseHMM:
 
 
         fallback_cells = getattr(self, "_fallback_cells", np.array([], dtype=np.int64))
-        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
+        # f64 macro stage: BC values must not round-trip through f32 (the
+        # whole point of the f64 direct path is κ~1e7 robustness)
+        bc_dtype = jnp.float64 if self._macro_f64 else self._dtype
+        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, bc_dtype)
         if self._macro_jit is None:
             # Two stages: composing scatter-assembly with the CG while-loop
             # in one XLA module compiles pathologically slowly on TPU.
@@ -430,7 +433,8 @@ class BaseHMM:
         f_fn = self._f_fn
         bs = self._V_macro.bs
         rhs_degree = self._quad_degree_rhs
-        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, self._dtype)
+        bc_dtype = jnp.float64 if self._macro_f64 else self._dtype
+        mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, bc_dtype)
         options = self._options_global
         chunk = self._chunk
 

@@ -32,14 +32,24 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
             return True
+        # compile to a per-process temp path and rename atomically: a
+        # concurrent import (pytest-xdist, multi-process launch) must never
+        # CDLL a partially written .so, and a killed build must not leave a
+        # truncated file that the mtime check would accept as up to date
+        tmp = f"{_LIB}.build.{os.getpid()}"
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            _SRC, "-o", _LIB,
+            _SRC, "-o", tmp,
         ]
         res = subprocess.run(cmd, capture_output=True, timeout=120)
         if res.returncode != 0:
             logger.warning("native build failed: %s", res.stderr.decode()[:500])
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
             return False
+        os.replace(tmp, _LIB)
         return True
     except Exception as e:  # pragma: no cover - toolchain issues
         logger.warning("native build unavailable: %s", e)

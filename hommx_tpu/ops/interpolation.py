@@ -38,7 +38,13 @@ def _locate_structured(mesh: SimplexMesh, points: np.ndarray) -> np.ndarray:
         return idx[:, 0].astype(np.int32)
     if d == 2:
         box = idx[:, 0] * n[1] + idx[:, 1]
-        tri = np.where(loc[:, 0] >= loc[:, 1], 0, 1)
+        if st.diagonal == "right":
+            # t0 = (v00, v10, v11): below the (0,0)->(1,1) diagonal
+            tri = np.where(loc[:, 0] >= loc[:, 1], 0, 1)
+        else:
+            # diagonal='left': t0 = (v00, v10, v01) contains the (0,0)
+            # corner, i.e. the region below the (1,0)->(0,1) diagonal
+            tri = np.where(loc[:, 0] + loc[:, 1] <= 1.0, 0, 1)
         return (box * 2 + tri).astype(np.int32)
     box = (idx[:, 0] * n[1] + idx[:, 1]) * n[2] + idx[:, 2]
     order = np.argsort(-loc, axis=1, kind="stable")  # descending coord order

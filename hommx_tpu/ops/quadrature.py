@@ -132,9 +132,27 @@ def _keast_deg5():
     return np.array(pts), np.array(wts)
 
 
+def _radon_deg5():
+    # Radon 7-point degree-5 triangle rule (centroid + two 3-point orbits)
+    s15 = np.sqrt(15.0)
+    a = (6.0 - s15) / 21.0
+    b = (6.0 + s15) / 21.0
+    wa = (155.0 - s15) / 1200.0
+    wb = (155.0 + s15) / 1200.0
+    pts = np.array(
+        [
+            [1 / 3, 1 / 3],
+            [a, a], [1.0 - 2.0 * a, a], [a, 1.0 - 2.0 * a],
+            [b, b], [1.0 - 2.0 * b, b], [b, 1.0 - 2.0 * b],
+        ]
+    )
+    wts = np.array([9.0 / 40.0, wa, wa, wa, wb, wb, wb])
+    return pts, wts
+
+
 _TET_RULES[4] = _keast_deg5()
 _TET_RULES[5] = _TET_RULES[4]
-_TRI_RULES[5] = _TRI_RULES[4]  # degree-4 rule used as nearest available
+_TRI_RULES[5] = _radon_deg5()
 
 
 def simplex_rule(dim: int, degree: int):

@@ -130,3 +130,35 @@ def test_locate_cells_unstructured():
         xi = np.linalg.solve(T, p - cp[0])
         lam = np.concatenate([[1 - xi.sum()], xi])
         assert lam.min() > -1e-8
+
+
+def test_locate_cells_left_diagonal():
+    """diagonal='left' meshes record their split and point location honors it
+    (regression: the locator used to assume the 'right' split and returned
+    non-containing cells for half the points)."""
+    m = create_unit_square(4, 4, diagonal="left")
+    assert m.structure.diagonal == "left"
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0.01, 0.99, size=(100, 2))
+    cells = locate_cells(m, pts)
+    for p, c in zip(pts, cells):
+        cp = m.vertices[m.cells[c]]
+        T = (cp[1:] - cp[0]).T
+        xi = np.linalg.solve(T, p - cp[0])
+        lam = np.concatenate([[1 - xi.sum()], xi])
+        assert lam.min() > -1e-10, (p, c, lam)
+
+
+def test_quadrature_degree5_triangle():
+    """The 2D degree-5 rule is genuinely degree-5 exact (regression: it used
+    to alias the degree-4 rule, silently under-integrating)."""
+    import itertools
+    from math import factorial
+
+    pts, w = simplex_rule(2, 5)
+    for a, b in itertools.product(range(6), repeat=2):
+        if a + b > 5:
+            continue
+        approx = float(np.sum(w * pts[:, 0] ** a * pts[:, 1] ** b))
+        exact = factorial(a) * factorial(b) / factorial(a + b + 2) * 2
+        assert np.isclose(approx, exact, atol=1e-13), (a, b, approx, exact)
