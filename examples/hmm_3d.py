@@ -53,6 +53,10 @@ def main():
     rel = relative_l2_vs_reference(u_phmm, u_ref)
     print(f"relative error of hmm against FEM ref for {eps=}, {N=}, {N_ref=} is {rel}")
 
+    # 3D boundary-surface plot (reference pyvista plot, hmm.py:493-511)
+    phmm.plot_solution(filename="hmm_3d.png", title="3D Poisson HMM solution")
+    print("wrote hmm_3d.png")
+
 
 if __name__ == "__main__":
     main()

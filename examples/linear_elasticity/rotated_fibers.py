@@ -86,6 +86,11 @@ def main():
           f"tip deflection u_z min = {vals[:, 2].min():.5f}")
     assert np.isfinite(vals).all()
 
+    # warped boundary-surface plot (reference pyvista warp_by_vector beam)
+    lehmm.plot_solution(filename="rotated_fibers.png", warp=0.25,
+                        title="rotated-fiber beam, |u| (warped)")
+    print("wrote rotated_fibers.png")
+
 
 if __name__ == "__main__":
     main()

@@ -606,7 +606,7 @@ class MicroEngine:
         )
 
     @_with_precision
-    def tensors_chunk_pcg(self, coeff, centers, G_fn=None):
+    def tensors_chunk_pcg(self, coeff, centers, G_fn=None, with_correctors=False):
         """A*(c_T) for one chunk of centers — the TPU fast path.
 
         Layout-conscious chunk-level block-PCG: all cells' generator RHS are
@@ -864,6 +864,9 @@ class MicroEngine:
         else:
             APhi = jnp.einsum("cert,etcs->ercs", Ae_blocks, Phi)
         Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
+        if with_correctors:
+            # (n, C, s) -> (C, n, s): same layout as the per-cell path
+            return Astar, jnp.transpose(X, (1, 0, 2))
         return Astar
 
     def _get_fft_symbols(self):
@@ -1013,14 +1016,11 @@ class MicroEngine:
             or self.cell_prec == "fft"
             or (self.coeff_rank > 0 and self.coeff_kind == "scalar")
         )
-        if (
-            self.solver == "pcg"
-            and use_chunk
-            and self.D is not None
-            and not with_correctors
-        ):
+        if self.solver == "pcg" and use_chunk and self.D is not None:
             return _map_chunked(
-                lambda cs: self.tensors_chunk_pcg(coeff, cs, G_fn),
+                lambda cs: self.tensors_chunk_pcg(
+                    coeff, cs, G_fn, with_correctors=with_correctors
+                ),
                 centers,
                 chunk,
                 chunk_fn=True,

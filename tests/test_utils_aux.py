@@ -142,3 +142,43 @@ def test_solve_then_new_rhs_reuses_micro_stage():
     h.set_right_hand_side(f)
     u1 = h.solve()
     assert np.allclose(np.asarray(u2.array), 2 * np.asarray(u1.array), atol=1e-12)
+
+
+def test_plotting_3d_smoke(tmp_path):
+    """3D solutions plot as a colored (optionally warped) boundary surface
+    (reference pyvista 3D plots, hmm.py:493-511; VERDICT r1 item 7)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax.numpy as jnp
+
+    from hommx_tpu import (
+        LinearElasticityHMM,
+        PoissonHMM,
+        create_unit_cube,
+        dirichletbc,
+    )
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    macro = create_unit_cube(3)
+    micro = create_unit_cube(2)
+    h = PoissonHMM(
+        macro, lambda x, y: 1.0 + 0.5 * jnp.sin(2 * jnp.pi * y[0]),
+        lambda x: 1.0, micro, 0.1,
+    )
+    h.solve()
+    h.plot_solution(filename=str(tmp_path / "u3d.png"), title="u")
+    assert (tmp_path / "u3d.png").exists()
+
+    A = hooke_tensor(3, lambda x, y: 1.0, lambda x, y: 1.0)
+    e = LinearElasticityHMM(
+        macro, A, lambda x: jnp.array([0.0, 0.0, -0.1]), micro, 0.1
+    )
+    V = e.function_space
+    e.set_boundary_conditions(
+        dirichletbc(np.zeros(3), boundary_dofs(V, lambda x: np.isclose(x[0], 0)), V)
+    )
+    e.solve()
+    e.plot_solution(filename=str(tmp_path / "beam.png"), warp=1.0)
+    assert (tmp_path / "beam.png").exists()
