@@ -113,6 +113,7 @@ class MicroEngine:
         dtype=None,
         assembly: str = "auto",
         solver: str = "auto",
+        pcg_strategy: Optional[str] = None,
         pcg_tol: Optional[float] = None,
         pcg_maxiter: int = 1500,
         diag_scale: bool = True,
@@ -174,8 +175,13 @@ class MicroEngine:
         self.solver = solver
         # PCG strategy: batched dense-K (Gram-matmul assembly + batched
         # K·p) wins for small reduced spaces; the chunk-level matrix-free
-        # path wins asymptotically (no O(n²) K per cell).
-        self.pcg_strategy = "densek" if self.n_reduced <= 512 else "matfree"
+        # path wins asymptotically (no O(n²) K per cell).  Explicit override
+        # for benchmarking / expert tuning.
+        if pcg_strategy is None:
+            pcg_strategy = "densek" if self.n_reduced <= 512 else "matfree"
+        if pcg_strategy not in ("densek", "matfree"):
+            raise ValueError("pcg_strategy must be 'densek' or 'matfree'")
+        self.pcg_strategy = pcg_strategy
         if pcg_tol is None:
             # The homogenized tensor's diagonal entries are CG energies,
             # which converge QUADRATICALLY in the residual (δA*_mm ≈

@@ -111,3 +111,20 @@ class MacroSystem:
             if V.bs > 1:
                 self.strain_P64 = strain_coefficients(grads64, V.bs)
                 self.strain_P = self.strain_P64.astype(dtype)  # (nc, nb, d²)
+        self._mg = False  # lazily built (False = not yet, None = unavailable)
+
+    @property
+    def mg(self):
+        """Geometric-multigrid hierarchy for the macro operator (structured
+        meshes with a DIA view; None otherwise).  Built lazily: the direct
+        path never needs it."""
+        if self._mg is False:
+            from hommx_tpu.ops.multigrid import build_mg_structure
+
+            # P2 dofs (vertices + edge midpoints) are not the vertex grid
+            self._mg = (
+                build_mg_structure(self.V.mesh.structure, self.V.bs, self.dia)
+                if getattr(self.V, "degree", 1) == 1
+                else None
+            )
+        return self._mg

@@ -145,7 +145,9 @@ def fem_solve(
 
     @jax.jit
     def run_solve(vals_bc, b_bc):
-        return solve_ell(vals_bc, sys.cols, b_bc, options, dia=sys.dia)
+        return solve_ell(
+            vals_bc, sys.cols, b_bc, options, dia=sys.dia, mg=sys.mg
+        )
 
     vals_bc, b_bc = run_assemble(mask, bvals)
     x, iters, res = run_solve(vals_bc, b_bc)

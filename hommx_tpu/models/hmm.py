@@ -409,7 +409,10 @@ class BaseHMM:
 
     def _macro_solve(self, vals_bc, b_bc):
         sys = self._sys
-        return solve_ell(vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia)
+        mg = None if self._macro_f64 else sys.mg  # direct path never needs it
+        return solve_ell(
+            vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia, mg=mg
+        )
 
     def build_pipeline(self, shard_mesh=None):
         """Return a pure jittable function ``step(centers) -> u`` running the
@@ -487,7 +490,10 @@ class BaseHMM:
             vals_bc, b_bc = apply_dirichlet(
                 vals, sys.cols, sys.diag_slots, b, mask, bvals_m, dia=sys.dia
             )
-            x, _, _ = solve_ell(vals_bc, sys.cols, b_bc, options, dia=sys.dia)
+            x, _, _ = solve_ell(
+                vals_bc, sys.cols, b_bc, options, dia=sys.dia,
+                mg=None if macro_f64 else sys.mg,
+            )
             return x.astype(dtype)
 
         return step, sys.centers

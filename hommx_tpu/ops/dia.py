@@ -25,9 +25,18 @@ import numpy as np
 
 from hommx_tpu.ops.sparse import ELLPattern
 
-__all__ = ["DIAPattern", "build_dia_from_ell", "dia_spmv", "dia_spmv_pallas"]
+__all__ = [
+    "DIAPattern",
+    "build_dia_from_ell",
+    "dia_spmv",
+    "dia_spmv_cols",
+    "dia_spmv_pallas",
+]
 
-_MAX_DIAGONALS = 32
+# P1 block stencils stay well under this: 7 (2D scalar) / 21 (2D elasticity)
+# / 15 (3D scalar) / 75 (3D elasticity) distinct offsets.  Unstructured
+# meshes blow past it and stay on the ELL gather path.
+_MAX_DIAGONALS = 96
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +124,20 @@ def dia_spmv(dia_vals: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
     for d, off in enumerate(offsets):
         y = y + dia_vals[d] * jax.lax.dynamic_slice(xp, (P + off,), (N,))
     return y
+
+
+def dia_spmv_cols(dia_vals: jnp.ndarray, offsets, X: jnp.ndarray) -> jnp.ndarray:
+    """DIA SpMV applied to a block of column vectors X (N, B):
+    Y[i, b] = Σ_d vals[d, i] * X[i + off_d, b] — the multi-vector variant used
+    by the multigrid Galerkin probing (ops/multigrid.py) and block solves."""
+    N = X.shape[0]
+    P = max(max(abs(o) for o in offsets), 1)
+    Xp = jnp.pad(X, ((P, P), (0, 0)))
+    Y = jnp.zeros_like(X)
+    for d, off in enumerate(offsets):
+        shifted = jax.lax.dynamic_slice_in_dim(Xp, P + off, N, axis=0)
+        Y = Y + dia_vals[d][:, None] * shifted
+    return Y
 
 
 def dia_spmv_pallas(

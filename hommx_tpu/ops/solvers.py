@@ -41,10 +41,16 @@ def _ell_diag(vals, cols):
 
 def cg_matfree(matvec, diag, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
     """Matrix-free PCG with Jacobi preconditioner ``diag``."""
-    x = jnp.zeros_like(b) if x0 is None else x0
     dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
+    return pcg_prec(matvec, lambda r: dinv * r, b, x0, atol, rtol, maxiter)
+
+
+def pcg_prec(matvec, prec, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
+    """Matrix-free PCG with an arbitrary SPD preconditioner callable
+    ``prec(r) -> z`` (Jacobi diag, multigrid V-cycle, ...)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
-    z = dinv * r
+    z = prec(r)
     p = z
     rz = jnp.vdot(r, z)
     bnorm = jnp.linalg.norm(b)
@@ -60,7 +66,7 @@ def cg_matfree(matvec, diag, b, x0=None, atol=1e-12, rtol=1e-12, maxiter=10000):
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = dinv * r
+        z = prec(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
@@ -121,12 +127,16 @@ def dense_solve_ell(vals, cols, b):
     return jax.scipy.linalg.cho_solve((c, low), b)
 
 
-def solve_ell(vals, cols, b, options, dia=None):
+def solve_ell(vals, cols, b, options, dia=None, mg=None):
     """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'.
 
     With a DIAPattern (``dia``), the CG matvec runs in diagonal format —
     the Pallas kernel on TPU, the XLA shift formulation elsewhere
-    (ops/dia.py) — instead of the gather-based ELL SpMV.
+    (ops/dia.py) — instead of the gather-based ELL SpMV.  With an
+    MGStructure (``mg``, structured meshes) and ``options.pc`` 'auto'/'mg',
+    CG is preconditioned by the geometric-multigrid V-cycle
+    (ops/multigrid.py) — the stand-in for the reference's GAMG
+    configurations (``examples/linear_elasticity/rotated_fibers.py:98``).
     """
     method = options.method
     if method == "auto":
@@ -144,6 +154,18 @@ def solve_ell(vals, cols, b, options, dia=None):
         # within ~25% of the kernel (~0.7ms vs ~0.56ms at 263k dofs) and
         # composes everywhere.  dia_spmv_pallas remains the standalone path.
         matvec = lambda v: dia_spmv(dvals, dia.offsets, v)
+        if mg is not None and options.pc in ("auto", "mg"):
+            from hommx_tpu.ops.multigrid import mg_setup, mg_vcycle
+
+            state = mg_setup(mg, dvals)
+            return pcg_prec(
+                matvec,
+                lambda r: mg_vcycle(mg, state, r),
+                b,
+                atol=options.atol,
+                rtol=options.rtol,
+                maxiter=options.maxiter,
+            )
         return cg_matfree(
             matvec,
             _ell_diag(vals, cols),

@@ -28,6 +28,10 @@ class SolverOptions:
             systems up to ``direct_threshold`` unknowns, CG above.
         atol, rtol, maxiter: CG stopping criteria.
         direct_threshold: size cutoff for the 'auto' dense path.
+        pc: CG preconditioner — 'auto' (geometric multigrid on structured
+            meshes, Jacobi otherwise), 'mg', or 'jacobi'.  Multigrid is the
+            stand-in for the reference's GAMG/MUMPS configurations
+            (``examples/linear_elasticity/rotated_fibers.py:98``).
         dtype: optional dtype override ('float32'/'float64'); None = package
             default (float64 with x64, else float32).
     """
@@ -37,6 +41,7 @@ class SolverOptions:
     rtol: float = 1e-10
     maxiter: int = 10000
     direct_threshold: int = 4096
+    pc: str = "auto"
     dtype: Optional[str] = None
 
     @staticmethod
@@ -70,6 +75,10 @@ def _from_petsc_dict(d: dict, default: Optional[SolverOptions]) -> SolverOptions
         elif key == "pc_type":
             if val == "lu":
                 kw["method"] = "direct"
+            elif val in ("gamg", "mg", "hypre"):
+                kw["pc"] = "mg"
+            elif val in ("jacobi", "none"):
+                kw["pc"] = "jacobi"
         elif key == "pc_factor_mat_solver_type":
             pass  # mumps etc.: the dense direct path covers it
         else:

@@ -1,0 +1,319 @@
+"""Geometric multigrid preconditioner tests (ops/multigrid.py).
+
+The hierarchy is variational (restriction = exact prolongation adjoint,
+coarse operators = exact Galerkin products), so the tests gate those
+identities to machine precision and then check the solver-level contracts:
+MG-PCG reproduces the Jacobi-CG/direct solutions, iteration counts stay
+roughly flat under mesh refinement (the property Jacobi lacks — reference
+GAMG anchor ``examples/linear_elasticity/rotated_fibers.py:98``), and the
+public solver API exercises the MG path above the direct-solve cap
+(macro-stage iteration stress, VERDICT round 1 item 9).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hommx_tpu.meshes import create_box, create_unit_square
+from hommx_tpu.models.common import MacroSystem, merge_bcs
+from hommx_tpu.models.fem import fem_assemble_values, _load_vector
+from hommx_tpu.ops.assembly import apply_dirichlet
+from hommx_tpu.ops.dia import dia_spmv, ell_vals_to_dia
+from hommx_tpu.ops.function_space import (
+    FunctionSpace,
+    dirichletbc,
+    locate_dofs_geometrical,
+)
+from hommx_tpu.ops.multigrid import (
+    _dense_from_dia,
+    _prolong_grid,
+    _restrict_grid,
+    _to_flat,
+    _to_grid,
+    build_mg_structure,
+    mg_setup,
+    mg_vcycle,
+)
+from hommx_tpu.ops.solvers import _ell_diag, cg_matfree, dense_solve_ell, pcg_prec
+from hommx_tpu.ops.sparse import ell_to_dense
+
+
+def _iso_hooke(d, lam_fn, mu_fn):
+    def hooke(x):
+        lam, mu = lam_fn(x), mu_fn(x)
+        eye = jnp.eye(d)
+        return lam * jnp.einsum("ij,kl->ijkl", eye, eye) + mu * (
+            jnp.einsum("ik,jl->ijkl", eye, eye)
+            + jnp.einsum("il,jk->ijkl", eye, eye)
+        )
+
+    return hooke
+
+
+def _assembled_system(mesh, bs, coeff, kind, bc_marker):
+    V = FunctionSpace(mesh, bs)
+    sys = MacroSystem(V, jnp.float64)
+    vals = fem_assemble_values(sys, coeff, kind, 2)
+    rhs = (
+        (lambda x: jnp.asarray(1.0))
+        if bs == 1
+        else (lambda x: -jnp.ones(bs) / bs)
+    )
+    b = _load_vector(sys, rhs, 2)
+    dofs = locate_dofs_geometrical(V, bc_marker)
+    bc = dirichletbc(0.0 if bs == 1 else np.zeros(bs), dofs, V)
+    mask, bvals = merge_bcs([bc], V.num_dofs, jnp.float64)
+    vals_bc, b_bc = apply_dirichlet(
+        vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+    )
+    return V, sys, vals_bc, b_bc
+
+
+@pytest.mark.parametrize(
+    "d,diagonal,caxes",
+    [
+        (2, "right", (0, 1)),
+        (2, "left", (0, 1)),
+        (2, "right", (0,)),
+        (3, "right", (0, 1, 2)),
+        (3, "right", (1, 2)),
+        (3, "right", (2,)),
+    ],
+)
+def test_transfer_adjointness(d, diagonal, caxes):
+    """Restriction is the exact adjoint of prolongation — the property that
+    makes the hierarchy variational and the V-cycle SPD."""
+    rng = np.random.default_rng(3)
+    gc = (5, 7) if d == 2 else (3, 5, 4)
+    gf = tuple(
+        2 * (g - 1) + 1 if ax in caxes else g for ax, g in enumerate(gc)
+    )
+    bs = 2
+    xc = jnp.asarray(rng.standard_normal(gc + (bs,)))
+    yf = jnp.asarray(rng.standard_normal(gf + (bs,)))
+    lhs = jnp.vdot(_prolong_grid(xc, d, diagonal, caxes), yf)
+    rhs = jnp.vdot(xc, _restrict_grid(yf, d, diagonal, caxes))
+    assert abs(lhs - rhs) < 1e-12
+
+
+def test_prolongation_reproduces_linears():
+    """P1 interpolation is exact on linear functions — coarse-grid
+    correction then represents the smooth error exactly."""
+    mesh = create_box([[0, 0, 0], [1, 1, 1]], [4, 4, 4])
+    lin = lambda X: 1.0 + 2.0 * X[..., 0] - 0.7 * X[..., 1] + 0.3 * X[..., 2]
+    xs_c = np.linspace(0, 1, 3)
+    Xc = np.stack(np.meshgrid(xs_c, xs_c, xs_c, indexing="ij"), axis=-1)
+    xs_f = np.linspace(0, 1, 5)
+    Xf = np.stack(np.meshgrid(xs_f, xs_f, xs_f, indexing="ij"), axis=-1)
+    out = _prolong_grid(jnp.asarray(lin(Xc))[..., None], 3, "right", (0, 1, 2))
+    assert np.allclose(np.asarray(out)[..., 0], lin(Xf), atol=1e-14)
+
+
+@pytest.mark.parametrize(
+    "name,mesh,bs,coeff,kind",
+    [
+        (
+            "2d-scalar",
+            create_unit_square(8, 8),
+            1,
+            lambda x: 1.0 + x[0] + 0.5 * jnp.sin(3 * x[1]),
+            "scalar",
+        ),
+        (
+            "2d-scalar-left",
+            create_unit_square(8, 8, diagonal="left"),
+            1,
+            lambda x: 1.0 + x[0],
+            "scalar",
+        ),
+        (
+            "2d-elast",
+            create_unit_square(8, 8),
+            2,
+            _iso_hooke(2, lambda x: 1.0 + x[0], lambda x: 0.5 + 0.2 * x[1]),
+            "tensor4",
+        ),
+        (
+            "3d-scalar",
+            create_box([[0, 0, 0], [1, 1, 1]], [4, 4, 4]),
+            1,
+            lambda x: 1.0 + x[0] * x[1],
+            "scalar",
+        ),
+        (
+            "3d-elast",
+            create_box([[0, 0, 0], [1, 1, 1]], [4, 4, 4]),
+            3,
+            _iso_hooke(3, lambda x: 1.0 + x[0], lambda x: 0.5 + 0.2 * x[1]),
+            "tensor4",
+        ),
+        (
+            "3d-semicoarsened",
+            create_box([[0, 0, 0], [1, 0.4, 0.1]], [4, 4, 4]),
+            1,
+            lambda x: 1.0 + x[0],
+            "scalar",
+        ),
+    ],
+)
+def test_galerkin_coarse_operator_exact(name, mesh, bs, coeff, kind):
+    """The probed coarse stencil equals the dense triple product P̃ᵀAP̃ to
+    machine precision (P̃ = BC-masked prolongation, identity at coarse BC
+    dofs) — the lattice-probing reconstruction is exact, not approximate."""
+    V, sys, vals_bc, _ = _assembled_system(
+        mesh, bs, coeff, kind, lambda x: np.isclose(x[0], 0.0)
+    )
+    mg = build_mg_structure(mesh.structure, bs, sys.dia)
+    assert mg is not None
+    state = mg_setup(mg, ell_vals_to_dia(sys.dia, vals_bc))
+
+    A = np.asarray(ell_to_dense(vals_bc, sys.cols))
+    d = mesh.dim
+    lev_c = mg.levels[1]
+    n_f = int(np.prod(mg.levels[0].grid)) * bs
+    n_c = int(np.prod(lev_c.grid)) * bs
+    zf, zc = np.asarray(state[0]["zmask"]), np.asarray(state[1]["zmask"])
+    P = np.zeros((n_f, n_c))
+    for j in range(n_c):
+        e = np.zeros(n_c)
+        e[j] = 1.0
+        eg = _to_grid(jnp.asarray(e), lev_c.grid, bs)
+        P[:, j] = np.asarray(
+            _to_flat(_prolong_grid(eg, d, mg.diagonal, lev_c.coarsen_axes), n_f, d)
+        )
+    Pt = np.diag(zf) @ P @ np.diag(zc)
+    Ac_ref = Pt.T @ A @ Pt
+    np.fill_diagonal(Ac_ref, np.where(zc == 0, 1.0, np.diag(Ac_ref)))
+    Ac = np.asarray(_dense_from_dia(state[1]["vals"], lev_c.offsets, n_c))
+    assert np.abs(Ac - Ac_ref).max() / np.abs(Ac_ref).max() < 1e-12
+
+
+def test_mg_pcg_poisson_iterations_flat():
+    """2D variable-coefficient Poisson: MG-PCG iteration counts stay ~flat
+    under refinement while Jacobi-CG roughly doubles; solutions agree."""
+    iters = {}
+    for n in (16, 32, 64):
+        mesh = create_unit_square(n, n)
+        V, sys, vals_bc, b_bc = _assembled_system(
+            mesh,
+            1,
+            lambda x: 1.0 + 0.9 * jnp.sin(4 * x[0]) * jnp.cos(4 * x[1]),
+            "scalar",
+            lambda x: np.isclose(x[0], 0)
+            | np.isclose(x[0], 1)
+            | np.isclose(x[1], 0)
+            | np.isclose(x[1], 1),
+        )
+        mg = build_mg_structure(mesh.structure, 1, sys.dia)
+        dvals = ell_vals_to_dia(sys.dia, vals_bc)
+        state = mg_setup(mg, dvals)
+        matvec = lambda v: dia_spmv(dvals, sys.dia.offsets, v)
+        x_mg, it_mg, _ = pcg_prec(
+            matvec,
+            lambda r: mg_vcycle(mg, state, r),
+            b_bc,
+            rtol=1e-10,
+            atol=0.0,
+        )
+        x_j, it_j, _ = cg_matfree(
+            matvec, _ell_diag(vals_bc, sys.cols), b_bc, rtol=1e-10, atol=0.0
+        )
+        assert float(jnp.max(jnp.abs(x_mg - x_j))) < 1e-8 * float(
+            jnp.max(jnp.abs(x_j))
+        )
+        iters[n] = int(it_mg)
+        assert int(it_mg) < int(it_j) / 3
+    # flat: the 64² count within +3 of the 16² count
+    assert iters[64] <= iters[16] + 3
+
+
+def test_mg_pcg_elasticity_beam_semicoarsened():
+    """Anisotropic thin-beam 3D elasticity (the rotated-fibers geometry):
+    semicoarsening keeps MG-PCG convergent in a bounded iteration count and
+    matches the dense direct solution."""
+    mesh = create_box([[0, 0, 0], [1, 0.4, 0.1]], [20, 6, 6])
+    hooke = _iso_hooke(
+        3, lambda x: 1.0 + 5.0 * x[1], lambda x: 0.5 + 2.0 * x[0]
+    )
+    V, sys, vals_bc, b_bc = _assembled_system(
+        mesh, 3, hooke, "tensor4", lambda x: np.isclose(x[0], 0.0)
+    )
+    mg = build_mg_structure(mesh.structure, 3, sys.dia)
+    assert mg is not None
+    # semicoarsening engaged: the first coarsening halves the small-h z axis
+    assert mg.levels[1].coarsen_axes != (0, 1, 2)
+    dvals = ell_vals_to_dia(sys.dia, vals_bc)
+    state = mg_setup(mg, dvals)
+    matvec = lambda v: dia_spmv(dvals, sys.dia.offsets, v)
+    x, it, res = pcg_prec(
+        matvec,
+        lambda r: mg_vcycle(mg, state, r),
+        b_bc,
+        rtol=1e-10,
+        atol=0.0,
+        maxiter=500,
+    )
+    assert int(it) < 60
+    x_d = dense_solve_ell(vals_bc, sys.cols, b_bc)
+    rel = float(jnp.max(jnp.abs(x - x_d)) / jnp.max(jnp.abs(x_d)))
+    assert rel < 1e-8
+
+
+def test_mg_unavailable_cases():
+    """Odd grids, unstructured meshes, and P2 spaces fall back (None)."""
+    from hommx_tpu.meshes import mesh_from_delaunay
+
+    m_odd = create_unit_square(15, 15)
+    sys = MacroSystem(FunctionSpace(m_odd, 1), jnp.float64)
+    assert build_mg_structure(m_odd.structure, 1, sys.dia) is None
+
+    pts = np.asarray(m_odd.vertices)
+    m_unstruct = mesh_from_delaunay(pts, np.asarray(m_odd.cells))
+    assert m_unstruct.structure is None
+    sys_u = MacroSystem(FunctionSpace(m_unstruct, 1), jnp.float64)
+    assert build_mg_structure(m_unstruct.structure, 1, sys_u.dia) is None
+
+    m16 = create_unit_square(16, 16)
+    V2 = FunctionSpace(m16, 1, degree=2)
+    sys2 = MacroSystem(V2, jnp.float64)
+    assert sys2.mg is None  # P2 dof layout is not the vertex grid
+
+
+@pytest.mark.parametrize("pc", ["mg", "jacobi"])
+def test_fem_solve_cg_macro_stress(pc):
+    """Macro-stage iteration stress through the public API (VERDICT item 9):
+    thin-beam elasticity forced onto the CG path converges within a bounded
+    iteration count under MG and matches the direct solution."""
+    from hommx_tpu.models.fem import LinearElasticityFEM
+    from hommx_tpu.utils.options import SolverOptions
+
+    mesh = create_box([[0, 0, 0], [1, 0.4, 0.1]], [16, 8, 8])
+    hooke = _iso_hooke(3, lambda x: 2.0 + x[1], lambda x: 1.0)
+    f = lambda x: jnp.asarray([0.0, 0.0, -1.0])
+
+    def run(options):
+        solver = LinearElasticityFEM(
+            mesh, hooke, f, options=options
+        )
+        solver.set_boundary_conditions(
+            [
+                dirichletbc(
+                    np.zeros(3),
+                    locate_dofs_geometrical(
+                        solver.function_space, lambda x: np.isclose(x[0], 0.0)
+                    ),
+                    solver.function_space,
+                )
+            ]
+        )
+        return solver.solve()
+
+    u_cg = run(SolverOptions(method="cg", pc=pc, rtol=1e-11, maxiter=4000))
+    u_direct = run(SolverOptions(method="direct"))
+    rel = float(
+        jnp.max(jnp.abs(u_cg.array - u_direct.array)) / jnp.max(jnp.abs(u_direct.array))
+    )
+    assert rel < 1e-7
+    if pc == "mg":
+        assert u_cg.solver_iterations < 60
