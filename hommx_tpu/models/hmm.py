@@ -423,7 +423,10 @@ class BaseHMM:
         through it, or shard it.  With ``shard_mesh`` (a 1D
         ``jax.sharding.Mesh``), the micro stage runs under ``shard_map`` over
         the macro-cell batch (the TPU-native replacement for the reference's
-        MPI domain decomposition, ``hmm.py:544-551``); the macro solve is
+        MPI domain decomposition, ``hmm.py:544-551``) and a CG macro solve
+        runs row-sharded with psum collectives (parallel/macro.py — the
+        analogue of the reference's COMM_WORLD-partitioned KSP,
+        ``hmm.py:144-149,482-483``); the small-system direct path stays
         replicated (macro systems are small by HMM design).
 
         Returns: (step_fn, example_centers).  ``centers`` must have static
@@ -465,6 +468,21 @@ class BaseHMM:
 
         macro_f64 = self._macro_f64
         dtype = self._dtype
+        method = options.method
+        if method == "auto":
+            method = (
+                "direct"
+                if self._V_macro.num_dofs <= options.direct_threshold
+                else "cg"
+            )
+        from hommx_tpu.parallel.macro import can_shard_macro
+
+        shard_macro = (
+            shard_mesh is not None
+            and method == "cg"
+            and not macro_f64
+            and can_shard_macro(sys.dia, shard_mesh.devices.size)
+        )
         if macro_f64:
             vols, grads, verts = sys.vols64, sys.grads64, sys.verts64
             strain_P = getattr(sys, "strain_P64", None)
@@ -490,10 +508,26 @@ class BaseHMM:
             vals_bc, b_bc = apply_dirichlet(
                 vals, sys.cols, sys.diag_slots, b, mask, bvals_m, dia=sys.dia
             )
-            x, _, _ = solve_ell(
-                vals_bc, sys.cols, b_bc, options, dia=sys.dia,
-                mg=None if macro_f64 else sys.mg,
-            )
+            if shard_macro:
+                from hommx_tpu.ops.dia import ell_vals_to_dia
+                from hommx_tpu.ops.solvers import _ell_diag
+                from hommx_tpu.parallel.macro import sharded_solve_dia
+
+                x, _, _ = sharded_solve_dia(
+                    shard_mesh,
+                    sys.dia,
+                    ell_vals_to_dia(sys.dia, vals_bc),
+                    b_bc,
+                    _ell_diag(vals_bc, sys.cols),
+                    options.atol,
+                    options.rtol,
+                    options.maxiter,
+                )
+            else:
+                x, _, _ = solve_ell(
+                    vals_bc, sys.cols, b_bc, options, dia=sys.dia,
+                    mg=None if macro_f64 else sys.mg,
+                )
             return x.astype(dtype)
 
         return step, sys.centers

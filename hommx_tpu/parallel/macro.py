@@ -1,0 +1,150 @@
+"""Row-sharded macro solve: distributed DIA SpMV + psum-CG under shard_map.
+
+The TPU-native analogue of the reference's distributed global KSP: PETSc
+partitions the macro matrix by rows over COMM_WORLD (reference
+``hmm.py:144-149``) and the KSP's matvecs/dot-products run collective
+(``hmm.py:482-483``).  Here the DIA value array is sharded along the row
+axis of a 1D device mesh, the SpMV halo (the max stencil offset) moves via
+two ``ppermute`` neighbour exchanges per matvec — pure ICI traffic, the
+moral equivalent of PETSc's VecScatter ghost update — and CG dot products
+are ``psum`` collectives, exactly PETSc's VecDot allreduce.
+
+Correctness of the circular halo: DIA values at (row, off) with
+row+off outside [0, N) are exact zeros (``ell_vals_to_dia`` scatters only
+real slots), so the garbage a wrap-around neighbour exchange delivers at
+the domain ends is multiplied by zero — the same argument that makes the
+single-device shift formulation (``ops/dia.py``) correct with zero padding.
+
+Padding rows (to make N divisible by the device count) are identity rows
+with zero rhs, so they decouple and stay exactly zero through CG.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+__all__ = ["sharded_solve_dia", "can_shard_macro"]
+
+
+def _shard_map():
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+    return sm
+
+
+def can_shard_macro(dia, num_devices: int) -> bool:
+    """The halo exchange needs each shard wider than the largest stencil
+    offset (one neighbour on each side); tiny macro systems fall back to
+    the replicated solve."""
+    if dia is None or num_devices <= 1:
+        return False
+    halo = max(max(abs(o) for o in dia.offsets), 1)
+    block = -(-dia.num_dofs // num_devices)
+    return block > halo
+
+
+def sharded_solve_dia(
+    mesh: Mesh,
+    dia,
+    dvals: jnp.ndarray,
+    b: jnp.ndarray,
+    diag: jnp.ndarray,
+    atol: float,
+    rtol: float,
+    maxiter: int,
+    axis: str = None,
+):
+    """Jacobi-preconditioned CG with row-sharded DIA storage.
+
+    Args:
+        mesh: 1D device mesh.
+        dia: DIAPattern (static offsets).
+        dvals: (n_offsets, N) DIA values of the BC-applied operator.
+        b: (N,) right-hand side.
+        diag: (N,) matrix diagonal (for the Jacobi preconditioner).
+    Returns: (x, iters, residual_norm) — x replicated, like the reference's
+        ``scatter_forward`` after the KSP solve (``hmm.py:490``).
+    """
+    axis = axis or mesh.axis_names[0]
+    nd = mesh.devices.size
+    N = dia.num_dofs
+    offsets = tuple(dia.offsets)
+    halo = max(max(abs(o) for o in offsets), 1)
+    block = -(-N // nd)
+    n_pad = block * nd - N
+    i0 = offsets.index(0)
+
+    # identity padding rows, zero rhs
+    pad_vals = jnp.zeros((dvals.shape[0], n_pad), dtype=dvals.dtype)
+    pad_vals = pad_vals.at[i0].set(1.0)
+    dvals_p = jnp.concatenate([dvals, pad_vals], axis=1)
+    b_p = jnp.pad(b, (0, n_pad))
+    diag_p = jnp.pad(diag, (0, n_pad), constant_values=1.0)
+
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+
+    def matvec_local(vals_l, x_l):
+        # two neighbour exchanges per matvec (ICI): my tail → right
+        # neighbour's left halo, my head → left neighbour's right halo
+        left = jax.lax.ppermute(x_l[-halo:], axis, perm=fwd)
+        right = jax.lax.ppermute(x_l[:halo], axis, perm=bwd)
+        xp = jnp.concatenate([left, x_l, right])
+        y = jnp.zeros_like(x_l)
+        for d, off in enumerate(offsets):
+            y = y + vals_l[d] * jax.lax.dynamic_slice_in_dim(
+                xp, halo + off, block
+            )
+        return y
+
+    def pdot(u, v):
+        return jax.lax.psum(jnp.vdot(u, v), axis)
+
+    spec_v = PartitionSpec(None, axis)
+    spec_x = PartitionSpec(axis)
+
+    @partial(
+        _shard_map(),
+        mesh=mesh,
+        in_specs=(spec_v, spec_x, spec_x),
+        out_specs=(spec_x, PartitionSpec(), PartitionSpec()),
+    )
+    def run(vals_l, b_l, diag_l):
+        dinv = jnp.where(jnp.abs(diag_l) > 0, 1.0 / diag_l, 1.0)
+        x = jnp.zeros_like(b_l)
+        r = b_l
+        z = dinv * r
+        p = z
+        rz = pdot(r, z)
+        bnorm = jnp.sqrt(pdot(b_l, b_l))
+        tol = jnp.maximum(atol, rtol * bnorm)
+
+        def cond(state):
+            x, r, p, rz, k = state
+            return jnp.logical_and(jnp.sqrt(pdot(r, r)) > tol, k < maxiter)
+
+        def body(state):
+            x, r, p, rz, k = state
+            Ap = matvec_local(vals_l, p)
+            alpha = rz / pdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = dinv * r
+            rz_new = pdot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return x, r, p, rz_new, k + 1
+
+        x, r, p, rz, k = jax.lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.array(0))
+        )
+        return x, k, jnp.sqrt(pdot(r, r))
+
+    x_p, iters, res = run(dvals_p, b_p, diag_p)
+    return x_p[:N], iters, res

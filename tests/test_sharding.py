@@ -98,3 +98,73 @@ def test_sharded_pipeline_strategy_stack(engine):
     p_u, c2 = s2.build_pipeline()
     p_s, _ = s2.build_pipeline(shard_mesh=mesh)
     assert float(jnp.abs(jax.jit(p_u)(c2) - jax.jit(p_s)(c2)).max()) < 1e-12
+
+
+def test_sharded_macro_cg_matches_replicated():
+    """Row-sharded DIA psum-CG (parallel/macro.py) equals the replicated CG
+    to tight tolerance — the TPU analogue of the reference's row-partitioned
+    KSP (``hmm.py:144-149,482-483``)."""
+    from hommx_tpu.models.common import MacroSystem, merge_bcs
+    from hommx_tpu.models.fem import fem_assemble_values, _load_vector
+    from hommx_tpu.ops.assembly import apply_dirichlet
+    from hommx_tpu.ops.dia import dia_spmv, ell_vals_to_dia
+    from hommx_tpu.ops.function_space import (
+        FunctionSpace,
+        dirichletbc,
+        locate_dofs_geometrical,
+    )
+    from hommx_tpu.ops.solvers import _ell_diag, cg_matfree
+    from hommx_tpu.parallel.macro import can_shard_macro, sharded_solve_dia
+
+    mesh_dev = device_mesh()
+    msh = create_unit_square(32, 32)
+    V = FunctionSpace(msh, 1)
+    sys = MacroSystem(V, jnp.float64)
+    vals = fem_assemble_values(
+        sys, lambda x: 1.0 + 0.5 * jnp.sin(3 * x[0]) * x[1], "scalar", 2
+    )
+    b = _load_vector(sys, lambda x: jnp.asarray(1.0), 2)
+    dofs = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 0.0))
+    mask, bvals = merge_bcs([dirichletbc(0.0, dofs, V)], V.num_dofs, jnp.float64)
+    vals_bc, b_bc = apply_dirichlet(
+        vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+    )
+    assert can_shard_macro(sys.dia, 8)
+    dvals = ell_vals_to_dia(sys.dia, vals_bc)
+    diag = _ell_diag(vals_bc, sys.cols)
+    x_s, it_s, res_s = sharded_solve_dia(
+        mesh_dev, sys.dia, dvals, b_bc, diag, 0.0, 1e-12, 10000
+    )
+    x_r, it_r, _ = cg_matfree(
+        lambda v: dia_spmv(dvals, sys.dia.offsets, v),
+        diag,
+        b_bc,
+        atol=0.0,
+        rtol=1e-12,
+    )
+    assert float(jnp.max(jnp.abs(x_s - x_r))) < 1e-9
+    # same Krylov process, same preconditioner: iteration counts match ±2
+    assert abs(int(it_s) - int(it_r)) <= 2
+
+
+def test_sharded_macro_in_pipeline():
+    """build_pipeline(shard_mesh) with a forced-CG macro routes through the
+    sharded psum-CG and matches the replicated pipeline (the
+    dryrun_multichip phase-2 contract)."""
+    from jax.sharding import Mesh
+
+    from hommx_tpu import PoissonHMM
+    from hommx_tpu.utils.options import SolverOptions
+
+    mesh = Mesh(np.array(jax.devices()), ("cells",))
+    A = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
+    opts = SolverOptions(method="cg", rtol=1e-11)
+    hmm = PoissonHMM(
+        create_unit_square(24, 24), A, lambda x: 1.0,
+        create_unit_square(4, 4), 2**-5, options_global_solve=opts,
+    )
+    step_s, centers = hmm.build_pipeline(shard_mesh=mesh)
+    step_r, _ = hmm.build_pipeline()
+    u_s = jax.jit(step_s)(centers)
+    u_r = jax.jit(step_r)(centers)
+    assert float(jnp.max(jnp.abs(u_s - u_r))) < 1e-8
