@@ -7,6 +7,7 @@ evidence used to tune ``SolverOptions.direct_threshold``
 (docs/performance.md records results).
 """
 
+import argparse
 import json
 import time
 
@@ -26,6 +27,10 @@ def _bench(fn, *args):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="substring filter on config name")
+    cli = ap.parse_args()
+
     from hommx_tpu.meshes import create_box, create_unit_square
     from hommx_tpu.models.common import MacroSystem, merge_bcs
     from hommx_tpu.models.fem import fem_assemble_values, _load_vector
@@ -81,22 +86,31 @@ def main():
     ]
 
     for name, mesh, bs, coeff, kind, marker in configs:
+        if cli.only and cli.only not in name:
+            continue
         V = FunctionSpace(mesh, bs)
         sys = MacroSystem(V, dtype)
-        vals = fem_assemble_values(sys, coeff, kind, 2)
         rhs = (
             (lambda x: jnp.asarray(1.0))
             if bs == 1
             else (lambda x: jnp.asarray([0.0, 0.0, -1.0]))
         )
-        b = _load_vector(sys, rhs, 2)
         dofs = locate_dofs_geometrical(V, marker)
         bc = dirichletbc(0.0 if bs == 1 else np.zeros(bs), dofs, V)
         mask, bvals = merge_bcs([bc], V.num_dofs, dtype)
-        vals_bc, b_bc = apply_dirichlet(
-            vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
-        )
-        vals_bc, b_bc = jax.block_until_ready((vals_bc, b_bc))
+
+        # assembly must be jitted: eager ops on the axon backend each pay a
+        # remote compile (+~25ms dispatch), so an eager 512² assembly alone
+        # takes minutes
+        @jax.jit
+        def assemble(mask, bvals):
+            vals = fem_assemble_values(sys, coeff, kind, 2)
+            b = _load_vector(sys, rhs, 2)
+            return apply_dirichlet(
+                vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+            )
+
+        vals_bc, b_bc = jax.block_until_ready(assemble(mask, bvals))
         mg = build_mg_structure(mesh.structure, bs, sys.dia)
 
         @jax.jit

@@ -7,31 +7,45 @@ direct cap.  The design is TPU-first throughout:
 
   * **Grid hierarchy, not graph coarsening.**  hommx macro meshes come from
     ``create_rectangle``/``create_box`` and carry a ``BoxStructure``; vertex
-    dofs form a lexicographic grid, so full coarsening (halve every axis) is
-    index arithmetic with *static* shapes — no setup graphs, no dynamic
-    sparsity, nothing XLA can't trace.
-  * **Transfer operators as interleave/slice programs.**  Prolongation is the
-    exact P1 finite-element interpolation on the structured triangulation
-    (fine vertex = midpoint of a coarse mesh edge for every off-lattice
-    class, including the diagonal classes of the 2D split and the 3D Kuhn
-    chains), written as stacked slices + reshapes — zero gathers/scatters.
-    Restriction is its exact adjoint (padding + adds), so the hierarchy is
-    variational and the V-cycle is SPD.
-  * **Galerkin coarse operators by lattice probing.**  Coarse stencils stay
-    inside {-1,0,1}^d (linear interpolation of a nearest-neighbour block
-    stencil), and offsets are injective mod 3, so A_c = PᵀAP is recovered
-    *exactly* from 3^d·bs probing vectors — a single batched DIA SpMV per
-    level (``dia_spmv_cols``) instead of a sparse triple product.  The whole
-    setup is traced: it lives inside the jitted macro solve and is
+    dofs form a lexicographic grid, so coarsening is index arithmetic with
+    *static* shapes — no setup graphs, no dynamic sparsity, nothing XLA
+    can't trace.  Anisotropic meshes (the thin-beam elasticity examples)
+    are semicoarsened: only the strongly coupled (small-h) axes are halved
+    per level, equalizing h — the classic robustness rule for point/block
+    smoothers.
+  * **Operators in block-stencil form.**  Every level's operator is stored
+    as per-node-offset bs×bs blocks on the vertex grid,
+    ``bvals[k, node, ci, cj]`` with k ranging over the ≤3^d node offsets
+    — a matvec is one pad + (per offset) one static slice and one einsum.
+    This keeps traced graphs small (the flat-DIA formulation put ~400 ops
+    per 3D-elasticity matvec inside the CG while_loop and stalled the
+    remote XLA compiler) and is the natural layout for the Galerkin
+    algebra below.
+  * **Transfer operators as interleave/slice programs.**  Prolongation is
+    the exact P1 finite-element interpolation on the structured
+    triangulation (fine vertex = midpoint of a coarse mesh edge for every
+    off-lattice class, including the diagonal classes of the 2D split and
+    the 3D Kuhn chains), written as stacked slices + reshapes — zero
+    gathers/scatters.  Restriction is its exact adjoint (padding + adds),
+    so the hierarchy is variational and the V-cycle is SPD.
+  * **Galerkin coarse operators by lattice probing.**  Coarse stencils
+    stay inside {-1,0,1}^d (linear interpolation of a nearest-neighbour
+    block stencil), and offsets are injective mod 3, so A_c = PᵀAP is
+    recovered *exactly* from 3^d·bs probing vectors — one batched stencil
+    matvec per level instead of a sparse triple product.  The whole setup
+    is traced: it lives inside the jitted macro solve and is
     differentiable like everything else.
-  * **Chebyshev smoothing** (dot-product-free, so no extra reductions in the
-    inner loop) with a traced power-iteration λmax estimate, and a dense
-    Cholesky bottom solve.
+  * **Chebyshev smoothing** (dot-product-free, so no extra reductions in
+    the inner loop) with point-Jacobi (scalar) or block-Jacobi
+    (elasticity) preconditioning and a power-iteration λmax estimate
+    capped by a rigorous Gershgorin-type bound; the bottom level applies a
+    precomputed dense inverse (one MXU matvec per cycle — TPU triangular
+    solves are latency-bound).
 
-The V-cycle with equal pre/post Chebyshev smoothing is a symmetric positive
-definite preconditioner, composed with CG in ``ops/solvers.py`` — the
-TPU-native analogue of the reference's ``{"ksp_type": "cg", "pc_type":
-"gamg"}`` configuration.
+The V-cycle with equal pre/post Chebyshev smoothing is a symmetric
+positive definite preconditioner, composed with CG in ``ops/solvers.py`` —
+the TPU-native analogue of the reference's ``{"ksp_type": "cg",
+"pc_type": "gamg"}`` configuration.
 """
 
 from __future__ import annotations
@@ -46,10 +60,26 @@ import numpy as np
 
 __all__ = ["MGStructure", "build_mg_structure", "mg_setup", "mg_vcycle"]
 
-#: coarsest-level size cap for the dense Cholesky bottom solve
+#: coarsest-level size cap for the dense bottom solve.  Backend-dependent:
+#: on TPU the V-cycle cost is dominated by per-op *latency* at the small
+#: coarse levels, so fewer levels + a large dense bottom (one MXU matvec
+#: per cycle via the precomputed inverse) wins; on CPU (f64 test path) the
+#: dense-inverse setup is the expensive part, so the bottom stays small.
 _BOTTOM_MAX = 1500
 #: Chebyshev smoothing degree (matvecs per pre/post smoothing application)
 _CHEB_DEGREE = 2
+
+
+def _default_bottom_max() -> int:
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            # large enough to cut hierarchy depth (per-op latency), small
+            # enough that the Newton–Schulz bottom inverse (O(n³) per
+            # iteration) stays in the tens of milliseconds
+            return 2500
+    except Exception:  # pragma: no cover
+        pass
+    return _BOTTOM_MAX
 
 
 # ---------------------------------------------------------------------------
@@ -151,13 +181,14 @@ class _Level:
     """Static data of one level of the hierarchy.
 
     Level 0 is the fine system (operator supplied by the caller in DIA
-    form); levels ≥ 1 get their operator from Galerkin probing.
+    form, re-packed into block-stencil layout by the static ``fine_src`` /
+    ``fine_dst`` maps on MGStructure); levels ≥ 1 get their operator from
+    Galerkin probing.
     """
 
     intervals: tuple  # grid intervals per axis (nx, ny[, nz])
     grid: tuple  # vertex counts per axis
-    offsets: tuple  # flat dof offsets of the stencil (levels ≥ 1)
-    node_offsets: tuple  # grid node offsets, aligned with ``offsets`` groups
+    node_offsets: tuple  # grid node offsets δ ∈ {-1,0,1}^d of the stencil
     res_masks: Optional[np.ndarray]  # (3^d, n_nodes) residue-class masks
     perms: Optional[np.ndarray]  # (n_node_offsets, 3^d) probe permutations
     power_vec: Optional[np.ndarray] = None  # fixed λmax power-iteration start
@@ -173,6 +204,8 @@ class MGStructure:
     diagonal: str
     levels: tuple  # of _Level
     fine_offsets: tuple  # DIA offsets of the fine operator
+    fine_src: np.ndarray  # gather indices into flat (n_off·N) DIA values
+    fine_dst: np.ndarray  # matching scatter indices into flat stencil vals
 
     @property
     def num_levels(self) -> int:
@@ -188,8 +221,51 @@ def _node_residues(grid) -> np.ndarray:
     return r.reshape(-1)
 
 
+def _grid_strides(grid) -> list:
+    d = len(grid)
+    strides = [1] * d
+    for ax in range(d - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * grid[ax + 1]
+    return strides
+
+
+def _decompose_offset(flat: int, strides, d: int):
+    """Balanced mixed-radix decomposition of a flat node offset into per-axis
+    digits in {-1,0,1}; None if the offset is not a nearest-neighbour step
+    (possible only for DIA slots that hold exact zeros)."""
+    digits = []
+    rem = flat
+    for ax in range(d):
+        best = min((-1, 0, 1), key=lambda v: abs(rem - v * strides[ax]))
+        digits.append(best)
+        rem -= best * strides[ax]
+    return tuple(digits) if rem == 0 else None
+
+
+def _probe_tables(cgrid, node_offsets, d):
+    """Residue-class masks and probe permutations for Galerkin extraction."""
+    n_nodes = int(np.prod(cgrid))
+    res = _node_residues(cgrid)
+    nm = 3**d
+    masks = np.zeros((nm, n_nodes), dtype=np.float64)
+    masks[res, np.arange(n_nodes)] = 1.0
+    # perms[iδ, m] = residue index of (m − δ) mod 3 (per axis): extraction
+    # reads probe m through mask class (m − δ) mod 3
+    m_digits = np.array(
+        list(itertools.product((0, 1, 2), repeat=d)), dtype=np.int64
+    )
+    perms = np.zeros((len(node_offsets), nm), dtype=np.int64)
+    for i, dlt in enumerate(node_offsets):
+        shifted = (m_digits - np.asarray(dlt)) % 3
+        code = np.zeros(nm, dtype=np.int64)
+        for ax in range(d):
+            code = code * 3 + shifted[:, ax]
+        perms[i] = code
+    return masks, perms
+
+
 def build_mg_structure(
-    structure, bs: int, dia, bottom_max: int = _BOTTOM_MAX
+    structure, bs: int, dia, bottom_max: Optional[int] = None
 ) -> Optional[MGStructure]:
     """Build the static hierarchy, or None when multigrid does not apply
     (unstructured mesh, no DIA view, or no even-refinement level available).
@@ -197,10 +273,12 @@ def build_mg_structure(
     Args:
         structure: the mesh's BoxStructure (grid intervals + diagonal).
         bs: dof block size (1 scalar, d elasticity).
-        dia: the fine operator's DIAPattern (offsets reused for level 0).
+        dia: the fine operator's DIAPattern (offsets re-packed for level 0).
     """
     if structure is None or dia is None:
         return None
+    if bottom_max is None:
+        bottom_max = _default_bottom_max()
     intervals = tuple(int(n) for n in structure.shape)
     d = len(intervals)
     if d not in (2, 3):
@@ -208,13 +286,44 @@ def build_mg_structure(
     grid = tuple(n + 1 for n in intervals)
     if int(np.prod(grid)) * bs != dia.num_dofs:
         return None  # dof layout is not the plain vertex grid
+    if any(g < 3 for g in grid):
+        return None  # offset decomposition needs ≥3 vertices per axis
     diagonal = getattr(structure, "diagonal", "right")
-
     rng = np.random.default_rng(7)
+
+    # fine-level re-pack: flat DIA slot (offset o, row (n, ci)) → stencil
+    # block (δ, n, ci, cj) with cj ≡ ci + o (mod bs) and δ the balanced
+    # decomposition of (o - (cj - ci))/bs.  Slots whose δ leaves {-1,0,1}^d
+    # hold exact zeros (no such grid edge) and are dropped.
+    n_nodes_f = int(np.prod(grid))
+    N = n_nodes_f * bs
+    strides = _grid_strides(grid)
+    fine_node_offsets = []
+    pack = []  # (offset_index, ci, cj, δ_index)
+    for oi, o in enumerate(dia.offsets):
+        for ci in range(bs):
+            cj = (ci + o) % bs
+            node_flat = (o - (cj - ci)) // bs
+            digits = _decompose_offset(node_flat, strides, d)
+            if digits is None:
+                continue
+            if digits not in fine_node_offsets:
+                fine_node_offsets.append(digits)
+            pack.append((oi, ci, cj, fine_node_offsets.index(digits)))
+    fine_node_offsets = tuple(fine_node_offsets)
+    nδ_f = len(fine_node_offsets)
+    src, dst = [], []
+    rows = np.arange(n_nodes_f, dtype=np.int64)
+    for oi, ci, cj, di in pack:
+        src.append(oi * N + rows * bs + ci)
+        dst.append(((di * n_nodes_f + rows) * bs + ci) * bs + cj)
+    fine_src = np.concatenate(src)
+    fine_dst = np.concatenate(dst)
+
     levels = [
         _Level(
-            intervals, grid, tuple(dia.offsets), (), None, None,
-            rng.standard_normal(int(np.prod(grid)) * bs),
+            intervals, grid, fine_node_offsets, None, None,
+            rng.standard_normal(N),
         )
     ]
     node_offsets = tuple(itertools.product((-1, 0, 1), repeat=d))
@@ -240,35 +349,10 @@ def build_mg_structure(
         cur = tuple(n // 2 if ax in caxes else n for ax, n in enumerate(cur))
         cgrid = tuple(n + 1 for n in cur)
         n_nodes = int(np.prod(cgrid))
-        # flat dof offset of node offset δ, component shift dc:
-        # (Σ_ax δ_ax · stride_ax) · bs + dc  (row-major vertex-grid strides)
-        offs = []
-        strides = [1] * d
-        for ax in range(d - 2, -1, -1):
-            strides[ax] = strides[ax + 1] * cgrid[ax + 1]
-        for dlt in node_offsets:
-            flat = sum(dlt[ax] * strides[ax] for ax in range(d))
-            for dc in range(-(bs - 1), bs):
-                offs.append(flat * bs + dc)
-        res = _node_residues(cgrid)  # (n_nodes,)
-        nm = 3**d
-        masks = np.zeros((nm, n_nodes), dtype=np.float64)
-        masks[res, np.arange(n_nodes)] = 1.0
-        # perms[iδ, m] = residue index of (m − δ) mod 3 (per axis):
-        # extraction reads probe m through mask class (m − δ) mod 3
-        m_digits = np.array(
-            list(itertools.product((0, 1, 2), repeat=d)), dtype=np.int64
-        )  # (nm, d) aligned with the residue encoding above
-        perms = np.zeros((len(node_offsets), nm), dtype=np.int64)
-        for i, dlt in enumerate(node_offsets):
-            shifted = (m_digits - np.asarray(dlt)) % 3
-            code = np.zeros(nm, dtype=np.int64)
-            for ax in range(d):
-                code = code * 3 + shifted[:, ax]
-            perms[i] = code
+        masks, perms = _probe_tables(cgrid, node_offsets, d)
         levels.append(
             _Level(
-                cur, cgrid, tuple(offs), node_offsets, masks, perms,
+                cur, cgrid, node_offsets, masks, perms,
                 rng.standard_normal(n_nodes * bs), caxes,
             )
         )
@@ -276,18 +360,14 @@ def build_mg_structure(
             break
     if len(levels) < 2:
         return None
-    return MGStructure(d, bs, diagonal, tuple(levels), tuple(dia.offsets))
+    return MGStructure(
+        d, bs, diagonal, tuple(levels), tuple(dia.offsets), fine_src, fine_dst
+    )
 
 
 # ---------------------------------------------------------------------------
 # traced setup (per assembled operator) + V-cycle application
 # ---------------------------------------------------------------------------
-
-
-def _spmv_cols(vals, offsets, X):
-    from hommx_tpu.ops.dia import dia_spmv_cols
-
-    return dia_spmv_cols(vals, offsets, X)
 
 
 def _to_grid(x, grid, bs):
@@ -299,10 +379,52 @@ def _to_flat(xg, n, d):
     return xg.reshape((n,) + xg.shape[d + 1 :])
 
 
-def _diag_of(vals, offsets):
-    """Diagonal of a DIA operator (the offset-0 row of vals)."""
-    i0 = offsets.index(0)
-    return vals[i0]
+def _stencil_matvec(bvals, lev: _Level, bs: int, X):
+    """Block-stencil SpMV on the vertex grid, applied to columns X (N, B):
+    one zero-pad of the grid, per node offset one static slice, then one
+    fused contraction with the (node, bs, bs) blocks.  Out-of-grid
+    neighbours read the zero padding (their block values are exact zeros
+    anyway).
+
+    For solve vectors (B = 1, the CG hot path) the contraction is written
+    as a broadcast multiply + sum — pure VPU elementwise work.  Per-offset
+    einsums were measured at ~0.5ms each on the axon backend (tiny 3×3
+    dot_generals pay fixed MXU dispatch), putting a 3-level V-cycle at
+    ~115ms; the elementwise form removes every small dot_general from the
+    CG loop body.  The wide probing batch (B = 3^d·bs, once per setup)
+    keeps the einsum, where the contraction is large enough to matter."""
+    grid = lev.grid
+    d = len(grid)
+    B = X.shape[1]
+    nd = len(lev.node_offsets)
+    xg = X.reshape(grid + (bs, B))
+    xp = jnp.pad(xg, [(1, 1)] * d + [(0, 0), (0, 0)])
+    slices = [
+        xp[tuple(slice(1 + dlt[ax], 1 + dlt[ax] + grid[ax]) for ax in range(d))]
+        for dlt in lev.node_offsets
+    ]
+    S = jnp.stack(slices, axis=0)  # (nδ, *grid, bs, B)
+    Bv = bvals.reshape((nd,) + grid + (bs, bs))
+    if B == 1:
+        # y[..., i] = Σ_k Σ_j Bv[k, ..., i, j] · S[k, ..., j]
+        y = jnp.sum(Bv * S[..., 0][..., None, :], axis=(0, -1))
+        return y.reshape(X.shape)
+    y = jnp.einsum("k...ij,k...jb->...ib", Bv, S)
+    return y.reshape(X.shape)
+
+
+def _pack_fine(struct: MGStructure, fine_vals):
+    """Flat DIA values → level-0 block-stencil values (one static scatter)."""
+    lev0 = struct.levels[0]
+    n_nodes = int(np.prod(lev0.grid))
+    bs = struct.bs
+    out = jnp.zeros(
+        len(lev0.node_offsets) * n_nodes * bs * bs, dtype=fine_vals.dtype
+    )
+    out = out.at[jnp.asarray(struct.fine_dst)].set(
+        fine_vals.reshape(-1)[jnp.asarray(struct.fine_src)]
+    )
+    return out.reshape(len(lev0.node_offsets), n_nodes, bs, bs)
 
 
 def _cheby(matvec, papply, b, lmax, degree=_CHEB_DEGREE):
@@ -335,58 +457,46 @@ def _cheby_from(matvec, papply, b, x, lmax, degree=_CHEB_DEGREE):
     return x + _cheby(matvec, papply, r, lmax, degree)
 
 
-def _block_jacobi(vals, offsets, n_nodes, bs):
-    """Per-node bs×bs diagonal blocks of a flat-DIA block operator.
-
-    Entry (row=(n,ci), col=(n,cj)) lives at flat offset cj−ci; rows of that
-    offset whose ci would push cj out of [0,bs) belong to a *different node's*
-    block (o = δ·bs + dc is ambiguous without ci) and are skipped."""
-    B = jnp.zeros((n_nodes, bs, bs), dtype=vals.dtype)
-    for dc in range(-(bs - 1), bs):
-        if dc not in offsets:
-            continue
-        col = vals[offsets.index(dc)].reshape(n_nodes, bs)
-        for ci in range(bs):
-            cj = ci + dc
-            if 0 <= cj < bs:
-                B = B.at[:, ci, cj].set(col[:, ci])
-    return 0.5 * (B + jnp.swapaxes(B, -1, -2))
-
-
-def _smoother(vals, offsets, n_dofs, bs, v0):
+def _smoother(bvals, lev: _Level, bs: int, v0):
     """Build the smoothing preconditioner (point/block Jacobi) and the
-    Chebyshev λmax(M⁻¹A) estimate.
+    Chebyshev λmax(M⁻¹A) estimate for one level.
 
     λmax: a power iteration (16 traced matvecs — noise next to one solve)
     converges from below; 10% headroom on top, capped by the rigorous
-    Gershgorin-type bound λmax(M⁻¹A) ≤ λmax(M⁻¹D)·λmax(D⁻¹A) (absolute DIA
-    row sums are exact row sums of |A|).  Chebyshev tolerates an
-    overestimate (slightly weaker smoothing) but diverges on an
-    underestimate, so the cap keeps pathological cases safe.
+    Gershgorin-type bound λmax(M⁻¹A) ≤ λmax(M⁻¹D)·λmax(D⁻¹A) (per-row
+    absolute sums of the stencil blocks are exact row sums of |A|).
+    Chebyshev tolerates an overestimate (slightly weaker smoothing) but
+    diverges on an underestimate, so the cap keeps pathological cases safe.
 
     Returns (papply, lmax).
     """
-    i0 = offsets.index(0)
-    diag = vals[i0]
+    i0 = lev.node_offsets.index((0,) * len(lev.grid))
+    n_nodes = bvals.shape[1]
+    Bdiag = bvals[i0]  # (n_nodes, bs, bs)
+    diag = jnp.einsum("nii->ni", Bdiag).reshape(-1)  # (N,)
     dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
-    gersh = jnp.max(dinv * jnp.sum(jnp.abs(vals), axis=0))
+    rowsum = jnp.sum(jnp.abs(bvals), axis=(0, 3)).reshape(-1)  # (N,)
+    gersh = jnp.max(dinv * rowsum)
     if bs == 1:
         papply = lambda r: dinv * r
         cap = gersh
     else:
-        n_nodes = n_dofs // bs
-        B = _block_jacobi(vals, offsets, n_nodes, bs)
-        Binv = jnp.linalg.inv(B)
-        papply = lambda r: jnp.einsum(
-            "nij,nj...->ni...", Binv, r.reshape((n_nodes, bs) + r.shape[1:])
+        from hommx_tpu.ops.elements import _inv_and_det
+
+        Bsym = 0.5 * (Bdiag + jnp.swapaxes(Bdiag, -1, -2))
+        # closed-form adjugate inverse: batched LU (jnp.linalg.inv) on tiny
+        # matrices is latency-bound on TPU; the adjugate is elementwise,
+        # and so is the application (broadcast-multiply + sum — no tiny
+        # batched dot_generals in the CG loop body)
+        Binv, _ = _inv_and_det(Bsym)
+        papply = lambda r: jnp.sum(
+            Binv * r.reshape(n_nodes, bs)[:, None, :], axis=-1
         ).reshape(r.shape)
         # λmax(B⁻¹D) ≤ max_n ‖Binv_n·D_n‖_F (Frobenius ≥ spectral norm)
         Dn = jax.vmap(jnp.diag)(diag.reshape(n_nodes, bs))
         BiD = jnp.einsum("nij,njk->nik", Binv, Dn)
-        cap = gersh * jnp.max(
-            jnp.sqrt(jnp.sum(BiD * BiD, axis=(1, 2)))
-        )
-    matvec = lambda v: _spmv_cols(vals, offsets, v[:, None])[:, 0]
+        cap = gersh * jnp.max(jnp.sqrt(jnp.sum(BiD * BiD, axis=(1, 2))))
+    matvec = lambda v: _stencil_matvec(bvals, lev, bs, v[:, None])[:, 0]
 
     def body(_, v):
         w = papply(matvec(v))
@@ -400,19 +510,19 @@ def _smoother(vals, offsets, n_dofs, bs, v0):
     return papply, jnp.minimum(cap, 1.1 * lam)
 
 
-def _coarsen(struct: MGStructure, lev_idx: int, vals_f, offsets_f, zmask_f):
+def _coarsen(struct: MGStructure, lev_idx: int, bvals_f, zmask_f):
     """Galerkin coarse operator A_c = P̃ᵀ A_f P̃ (with P̃ = Z_f P Z_c the
     BC-masked interpolation) by mod-3 lattice probing — see module docstring.
 
-    Returns (vals_c, zmask_c): DIA values on the coarse level's offsets and
-    the coarse keep-mask (0 at Dirichlet dofs).
+    Returns (bvals_c, zmask_c): stencil blocks on the coarse level and the
+    coarse keep-mask (0 at Dirichlet dofs).
     """
     d, bs = struct.d, struct.bs
     lev_f, lev_c = struct.levels[lev_idx - 1], struct.levels[lev_idx]
     n_f = int(np.prod(lev_f.grid)) * bs
     n_c = int(np.prod(lev_c.grid)) * bs
     nm = 3**d
-    dtype = vals_f.dtype
+    dtype = bvals_f.dtype
     masks = jnp.asarray(lev_c.res_masks, dtype=dtype)  # (nm, n_nodes_c)
 
     # coarse keep-mask by injection (coarse node I ↔ fine node at 2I on the
@@ -429,67 +539,68 @@ def _coarsen(struct: MGStructure, lev_idx: int, vals_f, offsets_f, zmask_f):
     X = jnp.einsum("mn,cj->ncmj", masks, eye).reshape(n_c, nm * bs)
     X = X * zmask_c[:, None]
 
-    # Y = Z_c R Z_f A Z_f P Z_c X  — one batched fine SpMV
+    # Y = Z_c R Z_f A Z_f P Z_c X  — one batched stencil SpMV
     Xg = _to_grid(X, lev_c.grid, bs)
     Pf = _to_flat(_prolong_grid(Xg, d, struct.diagonal, caxes), n_f, d)
     Pf = Pf * zmask_f[:, None]
-    APf = _spmv_cols(vals_f, offsets_f, Pf) * zmask_f[:, None]
+    APf = _stencil_matvec(bvals_f, lev_f, bs, Pf) * zmask_f[:, None]
     Y = _to_flat(
         _restrict_grid(_to_grid(APf, lev_f.grid, bs), d, struct.diagonal, caxes),
         n_c,
         d,
     )
     Y = Y * zmask_c[:, None]
-    # Yr[n, ci, m, cj]
-    Yr = Y.reshape(-1, bs, nm, bs)
+    Yr = Y.reshape(-1, bs, nm, bs)  # [n, ci, m, cj]
 
-    node_offsets = lev_c.node_offsets
-    vals_rows = []
-    for i, _ in enumerate(node_offsets):
+    blocks = []
+    for i in range(len(lev_c.node_offsets)):
         Mi = masks[np.asarray(lev_c.perms[i])]  # (nm, n_nodes_c), static perm
         # Z[n, ci, cj] = Σ_m Yr[n, ci, m, cj] · Mi[m, n]
-        Z = jnp.einsum("ncmj,mn->ncj", Yr, Mi)
-        for dc in range(-(bs - 1), bs):
-            cols = []
-            for ci in range(bs):
-                cj = ci + dc
-                if 0 <= cj < bs:
-                    cols.append(Z[:, ci, cj])
-                else:
-                    cols.append(jnp.zeros(Z.shape[0], dtype=dtype))
-            vals_rows.append(jnp.stack(cols, axis=1).reshape(-1))
-    vals_c = jnp.stack(vals_rows, axis=0)  # (n_offsets, n_c)
+        blocks.append(jnp.einsum("ncmj,mn->ncj", Yr, Mi))
+    bvals_c = jnp.stack(blocks, axis=0)  # (nδ, n_nodes_c, bs, bs)
 
     # identity diagonal at coarse Dirichlet dofs (probing left them zero)
-    i0 = lev_c.offsets.index(0)
-    vals_c = vals_c.at[i0].set(
-        jnp.where(zmask_c > 0, vals_c[i0], jnp.ones_like(zmask_c))
-    )
-    return vals_c, zmask_c
+    i0 = lev_c.node_offsets.index((0,) * d)
+    zn = zmask_c.reshape(-1, bs)
+    diag_blk = bvals_c[i0]
+    eye_fill = jnp.einsum("nc,cd->ncd", 1.0 - zn, jnp.eye(bs, dtype=dtype))
+    keep = jnp.minimum(zn[:, :, None], zn[:, None, :])
+    bvals_c = bvals_c.at[i0].set(diag_blk * keep + eye_fill)
+    return bvals_c, zmask_c
 
 
-def _dense_from_dia(vals, offsets, n):
-    """Materialize a small DIA operator as dense (bottom level only) with a
-    single static scatter.  Wrap-around slots hold exact zeros (no such grid
-    edge), so clipping the out-of-range rows per offset is the only masking
-    needed; the (static) flat index and value-gather arrays are host-built."""
+def _dense_from_stencil(bvals, lev: _Level, bs: int):
+    """Materialize a small stencil operator as dense (bottom level only)
+    with a single static scatter; out-of-grid neighbour entries are exact
+    zeros and their (host-computed) index rows are simply dropped."""
+    grid = lev.grid
+    d = len(grid)
+    n_nodes = int(np.prod(grid))
+    n = n_nodes * bs
+    coords = np.stack(
+        np.meshgrid(*[np.arange(g) for g in grid], indexing="ij"), axis=-1
+    ).reshape(-1, d)
+    strides = _grid_strides(grid)
     flat_idx, val_idx = [], []
-    for i, off in enumerate(offsets):
-        rows = np.arange(max(0, -off), min(n, n - off))
-        if rows.size == 0:
-            continue
-        flat_idx.append(rows * n + rows + off)
-        val_idx.append(i * n + rows)
+    for k, dlt in enumerate(lev.node_offsets):
+        nbr = coords + np.asarray(dlt)
+        valid = np.all((nbr >= 0) & (nbr < np.asarray(grid)), axis=1)
+        rows_n = np.nonzero(valid)[0]
+        cols_n = rows_n + sum(dlt[ax] * strides[ax] for ax in range(d))
+        for ci in range(bs):
+            for cj in range(bs):
+                flat_idx.append((rows_n * bs + ci) * n + cols_n * bs + cj)
+                val_idx.append(((k * n_nodes + rows_n) * bs + ci) * bs + cj)
     flat_idx = jnp.asarray(np.concatenate(flat_idx))
     val_idx = jnp.asarray(np.concatenate(val_idx))
-    dense = jnp.zeros(n * n, dtype=vals.dtype)
-    dense = dense.at[flat_idx].add(vals.reshape(-1)[val_idx])
+    dense = jnp.zeros(n * n, dtype=bvals.dtype)
+    dense = dense.at[flat_idx].add(bvals.reshape(-1)[val_idx])
     return dense.reshape(n, n)
 
 
 def mg_setup(struct: MGStructure, fine_vals):
-    """Per-operator traced setup: Galerkin hierarchy, smoother diagonals,
-    λmax estimates, bottom factorization.
+    """Per-operator traced setup: Galerkin hierarchy, smoother blocks, λmax
+    estimates, bottom inverse.
 
     Args:
         struct: static hierarchy from build_mg_structure.
@@ -497,33 +608,55 @@ def mg_setup(struct: MGStructure, fine_vals):
             (``ell_vals_to_dia`` output).
     Returns a pytree consumed by :func:`mg_vcycle`.
     """
-    d, bs = struct.d, struct.bs
-    offsets0 = struct.fine_offsets
+    bs = struct.bs
+    bvals = _pack_fine(struct, fine_vals)
     # Dirichlet rows are eliminated to the identity by apply_dirichlet: a row
     # with zero off-diagonal mass is a BC row (no plumbing of the BC mask)
-    i0 = offsets0.index(0)
-    offdiag = sum(
-        jnp.abs(fine_vals[i]) for i in range(len(offsets0)) if i != i0
+    lev0 = struct.levels[0]
+    i0 = lev0.node_offsets.index((0,) * struct.d)
+    offdiag = jnp.sum(jnp.abs(bvals), axis=(0, 3)) - jnp.abs(
+        jnp.einsum("nii->ni", bvals[i0])
     )
-    zmask = (offdiag > 0).astype(fine_vals.dtype)
+    zmask = (offdiag.reshape(-1) > 0).astype(fine_vals.dtype)
 
     state = []
-    vals, offsets, zm = fine_vals, offsets0, zmask
+    zm = zmask
     for li in range(struct.num_levels):
         lev = struct.levels[li]
-        n = int(np.prod(lev.grid)) * bs
         if li == struct.num_levels - 1:
-            dense = _dense_from_dia(vals, offsets, n)
+            dense = _dense_from_stencil(bvals, lev, bs)
             dense = 0.5 * (dense + dense.T)
-            cho = jax.scipy.linalg.cho_factor(dense)
-            state.append({"vals": vals, "zmask": zm, "cho": cho})
+            # explicit inverse, not a stored factorization: per-cycle
+            # triangular solves are latency-bound on TPU (measured ~15ms at
+            # n≈1000), and so is the Cholesky-based inverse itself (~1.9s at
+            # n≈3300).  On TPU the inverse is computed by Newton–Schulz
+            # iteration — pure MXU matmuls, X ← X(2I − AX), quadratically
+            # convergent from the classic ‖A‖₁‖A‖∞ scaling init — leaving
+            # one dense matvec per cycle.  CPU (f64 test path) keeps the
+            # Cholesky inverse.
+            n = dense.shape[0]
+            if jax.default_backend() in ("tpu", "axon"):
+                eye = jnp.eye(n, dtype=bvals.dtype)
+                l1 = jnp.max(jnp.sum(jnp.abs(dense), axis=0))
+                linf = jnp.max(jnp.sum(jnp.abs(dense), axis=1))
+                X0 = dense / (l1 * linf)  # = Aᵀ/(‖A‖₁‖A‖∞), A symmetric
+                binv = jax.lax.fori_loop(
+                    0, 50, lambda i, X: X @ (2.0 * eye - dense @ X), X0
+                )
+                binv = 0.5 * (binv + binv.T)
+            else:
+                cho = jax.scipy.linalg.cho_factor(dense)
+                binv = jax.scipy.linalg.cho_solve(
+                    cho, jnp.eye(n, dtype=bvals.dtype)
+                )
+            state.append({"bvals": bvals, "zmask": zm, "binv": binv})
             break
-        v0 = jnp.asarray(lev.power_vec, dtype=vals.dtype)
-        papply, lmax = _smoother(vals, offsets, n, bs, v0)
-        state.append({"vals": vals, "papply": papply, "lmax": lmax,
-                      "zmask": zm})
-        vals, zm = _coarsen(struct, li + 1, vals, offsets, zm)
-        offsets = struct.levels[li + 1].offsets
+        v0 = jnp.asarray(lev.power_vec, dtype=bvals.dtype)
+        papply, lmax = _smoother(bvals, lev, bs, v0)
+        state.append(
+            {"bvals": bvals, "papply": papply, "lmax": lmax, "zmask": zm}
+        )
+        bvals, zm = _coarsen(struct, li + 1, bvals, zm)
     return state
 
 
@@ -538,11 +671,9 @@ def _vcycle(struct, state, b, li):
     d, bs = struct.d, struct.bs
     lev = struct.levels[li]
     st = state[li]
-    vals = st["vals"]
-    offsets = lev.offsets if li else struct.fine_offsets
-    matvec = lambda v: _spmv_cols(vals, offsets, v[:, None])[:, 0]
     if li == struct.num_levels - 1:
-        return jax.scipy.linalg.cho_solve(st["cho"], b)
+        return st["binv"] @ b
+    matvec = lambda v: _stencil_matvec(st["bvals"], lev, bs, v[:, None])[:, 0]
     x = _cheby(matvec, st["papply"], b, st["lmax"])
     r = b - matvec(x)
     lev_c = struct.levels[li + 1]

@@ -26,7 +26,7 @@ from hommx_tpu.ops.function_space import (
     locate_dofs_geometrical,
 )
 from hommx_tpu.ops.multigrid import (
-    _dense_from_dia,
+    _dense_from_stencil,
     _prolong_grid,
     _restrict_grid,
     _to_flat,
@@ -185,7 +185,7 @@ def test_galerkin_coarse_operator_exact(name, mesh, bs, coeff, kind):
     Pt = np.diag(zf) @ P @ np.diag(zc)
     Ac_ref = Pt.T @ A @ Pt
     np.fill_diagonal(Ac_ref, np.where(zc == 0, 1.0, np.diag(Ac_ref)))
-    Ac = np.asarray(_dense_from_dia(state[1]["vals"], lev_c.offsets, n_c))
+    Ac = np.asarray(_dense_from_stencil(state[1]["bvals"], lev_c, bs))
     assert np.abs(Ac - Ac_ref).max() / np.abs(Ac_ref).max() < 1e-12
 
 
