@@ -3,17 +3,22 @@
 
 Headline metric (BASELINE.json north star): batched periodic micro
 cell-problem corrector solves per second.  One "solve" = one corrector
-linear system (assemble + Cholesky-factorized solve against one RHS) — the
-unit of work the reference performs as a full PETSc assemble+KSP round trip
-per macro basis function (reference ``hmm.py:420-426``).  We count
-``num_macro_cells × d`` generator solves (the d-RHS factorization is the
-algorithm, not an accounting trick: it produces the identical HMM stiffness).
-For scale: the reference's own count would be ``cells × (d+1)`` basis
-solves for the same output.
+linear system (assemble + solve against one RHS) — the unit of work the
+reference performs as a full PETSc assemble+KSP round trip per macro basis
+function (reference ``hmm.py:420-426``).  We count ``num_macro_cells × d``
+generator solves (the d-RHS factorization is the algorithm, not an
+accounting trick: it produces the identical HMM stiffness).  For scale:
+the reference's own count would be ``cells × (d+1)`` basis solves for the
+same output.
+
+The benchmark runs the GENERAL coefficient path — the chunk-level
+matrix-free block-PCG with the cell axis kept minor (micro/engine.py) —
+with no structural assumptions (no ``coeff_rank`` declaration): this is
+the throughput an arbitrary ``A(x, y)`` gets.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 1e5 (the v5e-8 target; this runs on however many chips
-are visible).
+vs_baseline = value / 1e5 (the v5e-8 target; this runs on however many
+chips are visible).
 """
 
 import json
@@ -35,13 +40,8 @@ def main():
     # Workload: 2D Poisson HMM micro stage — 32768 macro quadrature points,
     # 16x16 unit-cell micro mesh (n_red = 256), d = 2 generator solves each.
     micro = create_unit_square(16, 16)
-    # The workload coefficient is exactly rank-2 over cells (affine-in-x
-    # plus an x-independent oscillation), so the low-rank coefficient path
-    # applies exactly (engine.check_coeff_rank residual ~5e-13): per-cell K
-    # assembly is replaced by 2 shared basis Grams (see engine.coeff_rank).
     engine = MicroEngine(
         micro, bs=1, coeff_kind="scalar", quad_degree=2, dtype=dtype,
-        coeff_rank=2,
     )
 
     n_cells = 32768
@@ -50,9 +50,7 @@ def main():
     def coeff(x, y):
         return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
 
-    # the low-rank path materializes no per-cell K, so large chunks fit
-    # comfortably and amortize the factorization + basis-Gram setup
-    chunk = 8192 if on_tpu else 256
+    chunk = 4096 if on_tpu else 256
 
     @jax.jit
     def run(c):

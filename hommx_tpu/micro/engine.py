@@ -173,12 +173,24 @@ class MicroEngine:
             # while the K₀⁻¹-preconditioned block-CG is all matmuls.
             solver = "pcg" if jnp.dtype(self.dtype) == jnp.float32 else "cholesky"
         self.solver = solver
-        # PCG strategy: batched dense-K (Gram-matmul assembly + batched
-        # K·p) wins for small reduced spaces; the chunk-level matrix-free
-        # path wins asymptotically (no O(n²) K per cell).  Explicit override
-        # for benchmarking / expert tuning.
+        # PCG strategy by iteration-cost structure:
+        #   * scalar coefficients → chunk matrix-free: K is never
+        #     materialized, every Krylov op is a shared-operand matmul with
+        #     the cell axis minor (full TPU vector lanes); 1.05M vs 107k
+        #     solves/s on the 16×16-micro benchmark (round 2, after the
+        #     cell-minor layout fix).  Scalar cell problems converge in few
+        #     iterations (shared-K₀ spectral equivalence), so skipping the
+        #     per-cell Gram assembly dominates.
+        #   * block/tensor problems → densek: with s = d² simultaneous RHS
+        #     and the high iteration counts of contrast-heavy elasticity
+        #     cells, the dense K·p matvec (n²·s per iter) is ~40× cheaper
+        #     than the matrix-free expand/weight/reduce (nE·r·(n + r·s));
+        #     the one-time assembly amortizes immediately (measured 139k
+        #     vs 2.9k solves/s on the 3D stiff-fiber config).
         if pcg_strategy is None:
-            pcg_strategy = "densek" if self.n_reduced <= 512 else "matfree"
+            pcg_strategy = (
+                "matfree" if coeff_kind == "scalar" and bs == 1 else "densek"
+            )
         if pcg_strategy not in ("densek", "matfree"):
             raise ValueError("pcg_strategy must be 'densek' or 'matfree'")
         self.pcg_strategy = pcg_strategy
@@ -612,15 +624,20 @@ class MicroEngine:
         )
 
     @_with_precision
-    def tensors_chunk_pcg(self, coeff, centers, G_fn=None, with_correctors=False):
+    def tensors_chunk_pcg(
+        self, coeff, centers, G_fn=None, with_correctors=False,
+        with_iters=False,
+    ):
         """A*(c_T) for one chunk of centers — the TPU fast path.
 
         Layout-conscious chunk-level block-PCG: all cells' generator RHS are
         flattened into one column axis, so every Krylov operation is a
-        *shared-operand* matmul ``(nE·r, n) @ (n, C·s)`` (MXU-shaped — a
+        *shared-operand* matmul ``(nE·r, n) @ (n, s·C)`` (MXU-shaped — a
         per-cell formulation would run d-column-skinny matmuls at ~1% lane
-        utilization).  K is never materialized; per-iteration memory traffic
-        is O(C·nE) coefficient scalars instead of O(C·n²) assembled entries.
+        utilization), with the cell axis C kept minor so elementwise work
+        fills the TPU vector lanes (see the axis-conventions note below).
+        K is never materialized; per-iteration memory traffic is O(C·nE)
+        coefficient scalars instead of O(C·n²) assembled entries.
         """
         C = centers.shape[0]
         nE, r, s, n = self.nE, self.r, self.s, self.n_reduced
@@ -634,12 +651,16 @@ class MicroEngine:
         keep = jnp.logical_not(self.pin_mask).astype(self.dtype)[:, None, None]
         pinf = self.pin_mask.astype(self.dtype)[:, None, None]
 
-        # Axis conventions: gradient fields (nE, r, C, s); per-cell maps
-        # (C, r, r); scalar coefficient reductions a (C, nE).
+        # Axis conventions: gradient fields (nE, r, s, C); Krylov state
+        # (n, s, C); per-cell maps (C, r, r); scalar coefficient reductions
+        # a (C, nE).  The big cell axis C is ALWAYS the minor (last)
+        # dimension: TPU tiles use the last dim for the 128-wide vector
+        # lanes, and the s-minor layout (s = 2..9) was measured to waste
+        # ~4.5× on every elementwise op in the CG loop.
         scalar_sep = self.coeff_kind == "scalar"
         if scalar_sep:
             a = raw  # (C, nE); canonical Ā_e = a[c,e]·I — kept separable
-            a_w = a.T[:, None, :, None]  # (nE, 1, C, 1) broadcast weight
+            a_w = a.T[:, None, None, :]  # (nE, 1, 1, C) broadcast weight
             B_K = None if G is None else jnp.einsum("cmr,cmt->crt", G, G)  # GᵀG
             B_F = None if G is None else jnp.swapaxes(G, 1, 2)  # Gᵀ
             B_Phi = G  # field map T = G (None → identity)
@@ -676,7 +697,7 @@ class MicroEngine:
             anchors = jnp.asarray(np.linspace(0, C - 1, R).astype(np.int64))
             a64 = a.astype(jnp.float64)
             V = a64[anchors]  # (R, nE)
-            U = (jnp.linalg.pinv(V @ V.T, rcond=1e-12) @ (V @ a64.T)).T
+            U = jnp.linalg.pinv(V @ V.T, rcond=1e-12) @ (V @ a64.T)  # (R, C)
             keepn = jnp.logical_not(self.pin_mask).astype(jnp.float64)
             w = jnp.repeat(V, r, axis=1).reshape(R, nE * r)
             D2_64 = D2.astype(jnp.float64)
@@ -686,25 +707,25 @@ class MicroEngine:
             )
             U = U.astype(self.dtype)
 
-        def expand(cols):  # (n, C, s) -> (nE, r, C, s) gradient fields
-            return (D2 @ cols.reshape(n, C * s)).reshape(nE, r, C, s)
+        def expand(cols):  # (n, s, C) -> (nE, r, s, C) gradient fields
+            return (D2 @ cols.reshape(n, s * C)).reshape(nE, r, s, C)
 
-        def reduce_(fields):  # (nE, r, C, s) -> (n, C, s)
-            return (D2.T @ fields.reshape(nE * r, C * s)).reshape(n, C, s)
+        def reduce_(fields):  # (nE, r, s, C) -> (n, s, C)
+            return (D2.T @ fields.reshape(nE * r, s * C)).reshape(n, s, C)
 
         def apply_map(B, fields):  # per-cell (r,r) block on gradient fields
-            return fields if B is None else jnp.einsum("crt,etcs->ercs", B, fields)
+            return fields if B is None else jnp.einsum("crt,etsc->ersc", B, fields)
 
         def apply_AK(Dp):  # weight gradient fields by the K-side coefficient
             if scalar_sep:
                 return apply_map(B_K, Dp) * a_w
-            return jnp.einsum("cert,etcs->ercs", A_K, Dp)
+            return jnp.einsum("cert,etsc->ersc", A_K, Dp)
 
         def matvec(P):
             Pk = P * keep
             if lowrank:
-                KP = jnp.einsum("knm,mcs->kncs", Kb, Pk)
-                Kp = jnp.einsum("ck,kncs->ncs", U, KP)
+                KP = jnp.einsum("knm,msc->knsc", Kb, Pk)
+                Kp = jnp.einsum("kc,knsc->nsc", U, KP)
             else:
                 Kp = reduce_(apply_AK(expand(Pk)))
             return Kp * keep + pinf * P
@@ -712,11 +733,13 @@ class MicroEngine:
         # RHS: F = -Σ_e D_eᵀ (Tᵀ Ā_e) E
         E = self.E  # (r, s)
         if scalar_sep:
-            # AE[e, r, c, s] = a[c, e] · (Gᵀ E)[c, r, s]
+            # AE[e, r, s, c] = a[c, e] · (Gᵀ E)[c, r, s]
             GE = E[None] if B_F is None else jnp.einsum("crt,ts->crs", B_F, E)
-            AE = a_w * jnp.moveaxis(jnp.broadcast_to(GE, (C, r, s)), 0, 1)[None]
+            AE = a_w * jnp.moveaxis(
+                jnp.broadcast_to(GE, (C, r, s)), 0, -1
+            )[None]
         else:
-            AE = jnp.einsum("cert,ts->ercs", A_F, E)
+            AE = jnp.einsum("cert,ts->ersc", A_F, E)
         F = -reduce_(AE) * keep
 
         fft_prec = self.cell_prec == "fft"
@@ -758,16 +781,20 @@ class MicroEngine:
             ]
             Sg = jnp.where(bad, alpha * eye, S)
             inv, _ = _inv_and_det(Sg)
+            # (*grid, s, bs_i, bs_j, C): cells stay the minor dim everywhere
+            invc = jnp.moveaxis(inv, d_, -1)[
+                (slice(None),) * d_ + (None,)
+            ]
             fft_axes = tuple(range(d_))
 
-            def prec(R):  # (n = nodes·bs, C, s)
-                Rg = R.reshape(*grid, bsz, C, s)
+            def prec(R):  # (n = nodes·bs, s, C)
+                Rg = R.reshape(*grid, bsz, s, C)
                 Rh = jnp.fft.fftn(Rg, axes=fft_axes)
-                Rv = jnp.moveaxis(Rh, -3, -1)  # (*grid, C, s, bs)
-                Xv = jnp.einsum("...cij,...csj->...csi", inv, Rv)
-                Xh = jnp.moveaxis(Xv, -1, -3)  # (*grid, bs, C, s)
+                Rv = jnp.moveaxis(Rh, -3, -2)  # (*grid, s, bs_j, C)
+                Xv = jnp.sum(invc * Rv[..., None, :, :], axis=-2)
+                Xh = jnp.moveaxis(Xv, -2, -3)  # (*grid, bs, s, C)
                 out = jnp.fft.ifftn(Xh, axes=fft_axes).real
-                return out.astype(R.dtype).reshape(n, C, s)
+                return out.astype(R.dtype).reshape(n, s, C)
 
         elif fft_prec:
             # per-cell constant-coefficient symbol: volume-mean coefficient
@@ -805,30 +832,34 @@ class MicroEngine:
             # handled by pinning): replace with the max to keep the
             # preconditioner SPD on the full space
             sym_c = jnp.where(jnp.abs(sym_c) > 1e-8 * smax, sym_c, smax)
-            sym_b = jnp.moveaxis(sym_c, 0, -1)[..., None]  # (*grid, C, 1)
+            sym_b = jnp.moveaxis(sym_c, 0, -1)[..., None, :]  # (*grid, 1, C)
             fft_axes = tuple(range(d_))
 
-            def prec(R):  # (n, C, s): exact inverse at the mean coefficient
-                Rg = R.reshape(*grid, C, s)
+            def prec(R):  # (n, s, C): exact inverse at the mean coefficient
+                Rg = R.reshape(*grid, s, C)
                 Rh = jnp.fft.fftn(Rg, axes=fft_axes)
                 out = jnp.fft.ifftn(Rh / sym_b, axes=fft_axes).real
-                return out.astype(R.dtype).reshape(n, C, s)
+                return out.astype(R.dtype).reshape(n, s, C)
 
         else:
             Minv = self._get_K0inv()
 
             def prec(R):
-                return (Minv @ R.reshape(n, C * s)).reshape(n, C, s)
+                return (Minv @ R.reshape(n, s * C)).reshape(n, s, C)
 
         if self.diag_scale:
-            # Proxy diagonal from per-element mean coefficient magnitudes:
-            # d[n,c] ≈ Σ_e t[c,e]·Σ_r D[e,r,n]², with t the mean diagonal of
-            # the K-side coefficient block.  Exact for scalar coefficients
-            # (the block is a[c,e]·B with B shared over elements); for
-            # elasticity it captures the element-level contrast (the thing
-            # that breaks f32) while ignoring within-block anisotropy.  The
-            # reference scale d₀ uses the same proxy with unit coefficient
-            # (t₀ = Σ_q w_q), so the ratio is self-consistent.
+            # Per-dof diagonal for the symmetric scaling.  Scalar problems
+            # use a proxy from per-element mean coefficient magnitudes,
+            # d[n,c] ≈ Σ_e t[c,e]·Σ_r D[e,r,n]² (exact for unmapped scalar
+            # coefficients: the block is a[c,e]·I shared over elements).
+            # Block/tensor problems compute the EXACT diag(K) — the proxy
+            # ignores within-block anisotropy, which on contrast-2e5
+            # elasticity cells leaves the f32 PCG unscaled where it matters
+            # and diverges (regression caught when the chunk path became
+            # the elasticity default); the exact diagonal is one einsum,
+            # no K materialization.  The reference scale d₀ uses the unit
+            # coefficient through the same formula, so the ratio is
+            # self-consistent.
             dD = jnp.einsum("ern,ern->en", self.D, self.D)  # (nE, n) geometry
             if scalar_sep:
                 t = (
@@ -836,14 +867,16 @@ class MicroEngine:
                     if B_K is None
                     else a * (jnp.einsum("crr->c", B_K) / r)[:, None]
                 )  # (C, nE)
+                dp = jnp.einsum("ce,en->nc", t, dD)
+                d0p = jnp.einsum("e,en->n", jnp.sum(self.wq_dev, axis=1), dD)
             else:
-                t = jnp.einsum("cerr->ce", A_K) / r
-            d0p = jnp.einsum("e,en->n", jnp.sum(self.wq_dev, axis=1), dD)
-            dp = jnp.einsum("ce,en->nc", t, dD)
+                dp = jnp.einsum("ern,cert,etn->nc", self.D, A_K, self.D)
+                self._get_K0inv()  # ensures the exact _K0diag
+                d0p = self._K0diag  # exact diag(K₀), matching dp's exactness
             bad = self.pin_mask[:, None] | (dp <= 0) | ~jnp.isfinite(dp)
             sc = jnp.where(
                 bad, 1.0, jnp.sqrt(d0p[:, None] / jnp.where(bad, 1.0, dp))
-            ).astype(self.dtype)[:, :, None]  # (n, C, 1)
+            ).astype(self.dtype)[:, None, :]  # (n, 1, C)
             if fft_prec:
                 # the FFT prec approximates K⁻¹; on the scaled system the
                 # matching preconditioner is the congruence S⁻¹ K⁻¹ S⁻¹
@@ -854,26 +887,34 @@ class MicroEngine:
                 prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
             else:
                 prec_eff = prec
-            Y = _chunk_pcg(
+            Y, iters = _chunk_pcg(
                 lambda P: sc * matvec(sc * P), prec_eff, sc * F,
                 self.pcg_tol, self.pcg_maxiter,
             )
             X = sc * Y
         else:
-            X = _chunk_pcg(matvec, prec, F, self.pcg_tol, self.pcg_maxiter)
+            X, iters = _chunk_pcg(
+                matvec, prec, F, self.pcg_tol, self.pcg_maxiter
+            )
 
         # corrected fields Φ = E + T·(D X) and A* = (1/|Y|) Φᵀ Ā Φ
-        TDX = apply_map(B_Phi, expand(X))  # (nE, r, C, s)
-        Phi = E[None, :, None, :] + TDX
+        TDX = apply_map(B_Phi, expand(X))  # (nE, r, s, C)
+        Phi = E[None, :, :, None] + TDX
         if scalar_sep:
             APhi = Phi * a_w
         else:
-            APhi = jnp.einsum("cert,etcs->ercs", Ae_blocks, Phi)
-        Astar = jnp.einsum("ercn,ercm->cnm", Phi, APhi) / self.volume_Y
+            APhi = jnp.einsum("cert,etsc->ersc", Ae_blocks, Phi)
+        Astar = jnp.einsum("ernc,ermc->cnm", Phi, APhi) / self.volume_Y
+        out = (Astar,)
         if with_correctors:
-            # (n, C, s) -> (C, n, s): same layout as the per-cell path
-            return Astar, jnp.transpose(X, (1, 0, 2))
-        return Astar
+            # (n, s, C) -> (C, n, s): same layout as the per-cell path
+            out = out + (jnp.transpose(X, (2, 0, 1)),)
+        if with_iters:
+            # lockstep chunk-PCG iteration count (the whole chunk iterates
+            # until its worst column converges) — the diagnostic for tuning
+            # chunk size on heterogeneous problems
+            out = out + (iters,)
+        return out[0] if len(out) == 1 else out
 
     def _get_fft_symbols(self):
         """DFT symbols of the reduced periodic operator for a basis of
@@ -1045,36 +1086,32 @@ class MicroEngine:
         itemsize = jnp.dtype(self.dtype).itemsize
         if jnp.dtype(self.dtype) == jnp.float64:
             itemsize *= 2  # TPU f64 emulation stores float32 pairs
-        lowrank_path = (
-            self.solver == "pcg"
-            and self.D is not None
-            and self.coeff_rank > 0
-            and self.coeff_kind == "scalar"
-        )
-        if lowrank_path:
-            # the low-rank chunk PCG never materializes K; per-cell state is
-            # the gradient-field work arrays (nE·r·s) and the (n, s) Krylov
-            # vectors (X R P Z KP bX + einsum temporaries).  The plain
-            # matfree path deliberately keeps the old conservative estimate:
+        chunk_path = self.solver == "pcg" and self.D is not None
+        if chunk_path:
+            # the chunk PCG never materializes K; per-cell state is the
+            # gradient-field work arrays (nE·r·s) and the (n, s) Krylov
+            # vectors (X R P Z KP bX + einsum temporaries).  Capped at 4096:
             # chunk-level PCG is lockstep (a chunk iterates until its worst
-            # cell converges), and heterogeneous problems (the stratified
-            # wavy laminate) are 5× faster with small chunks that isolate
-            # the hard-cell tail — measured 33k vs 6.4k solves/s.
+            # cell converges), and both the lockstep tail isolation on
+            # heterogeneous problems and the measured throughput curve
+            # (1.05M at 4096 vs 0.71M at 16384 on the benchmark config)
+            # favour moderate chunks over maximal ones.
             per_cell = (
                 16 * self.nE * self.r * self.s + 10 * self.n_reduced * self.s
             ) * itemsize
-        else:
-            # per-cell dense path: the assembled K (n_red²), the dense-D
-            # contraction intermediate Z (nE·r·n_red — dominant for
-            # elasticity), and the per-element coefficient blocks
-            z_term = (
-                self.nE * self.r * self.n_reduced if self.D is not None else 0
-            )
-            per_cell = (
-                2 * self.n_reduced * self.n_reduced
-                + 2 * z_term
-                + 4 * self.nE * self.r * max(self.r, self.nbl)
-            ) * itemsize
+            budget = 1 << 30
+            return int(np.clip(budget // max(per_cell, 1), 1, min(nc, 4096)))
+        # per-cell dense path (cholesky / densek): the assembled K (n_red²),
+        # the dense-D contraction intermediate Z (nE·r·n_red — dominant for
+        # elasticity), and the per-element coefficient blocks
+        z_term = (
+            self.nE * self.r * self.n_reduced if self.D is not None else 0
+        )
+        per_cell = (
+            2 * self.n_reduced * self.n_reduced
+            + 2 * z_term
+            + 4 * self.nE * self.r * max(self.r, self.nbl)
+        ) * itemsize
         budget = 1 << 30
         return int(np.clip(budget // max(per_cell, 1), 1, max(nc, 1)))
 
@@ -1122,8 +1159,16 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
         pkp = jnp.sum(P * KP, axis=0)
         # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
         # extreme-contrast coefficients): freeze the column instead of
-        # stepping with a garbage alpha
-        ok = (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz)
+        # stepping with a garbage alpha.  Columns that have CONVERGED
+        # (best residual below tol) are frozen too: in lockstep they would
+        # otherwise keep stepping, and on near-singular high-contrast cells
+        # f32 CG then drifts along near-null modes — the iterate grows
+        # unboundedly while its residual stays small, and the energy clamp
+        # becomes cancellation noise (measured: two beam cells at 3e26
+        # inside a 521-cell chunk, perfectly convergent in isolation).
+        ok = (
+            (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz) & (brel >= tol)
+        )
         alpha = jnp.where(ok, rz / jnp.where(ok, pkp, 1.0), 0.0)
         X = X + P * alpha[None, :]
         R = R - KP * alpha[None, :]
@@ -1146,16 +1191,28 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     # energy clamp: the CG energy E(X) = ½⟨X,KX⟩ − ⟨F,X⟩ of the returned
     # iterate must beat E(0) = 0 (the zero corrector); columns that fail
     # (f32 divergence on ill-conditioned cells) fall back to X = 0, whose
-    # homogenized tensor is the physical zero-corrector upper bound
+    # homogenized tensor is the physical zero-corrector upper bound.
+    # The clamp additionally rejects non-finite iterates and iterates
+    # amplified beyond ~1e4× the preconditioned-RHS scale: at that size the
+    # f32 quadratic form is cancellation noise (a drifting near-null-mode
+    # iterate can fake E < 0), and a cell genuinely needing more
+    # amplification is beyond f32 fidelity anyway — the zero-corrector
+    # fallback + report is its documented handling.
     E = 0.5 * jnp.sum(bX * matvec(bX), axis=0) - jnp.sum(F * bX, axis=0)
-    return jnp.where((E < 0)[None, :], bX, 0.0)
+    x0n = jnp.linalg.norm(Minv @ F, axis=0)
+    good = (
+        (E < 0)
+        & jnp.all(jnp.isfinite(bX), axis=0)
+        & (jnp.linalg.norm(bX, axis=0) <= 1e4 * (x0n + eps))
+    )
+    return jnp.where(good[None, :], bX, 0.0)
 
 
 def _chunk_pcg(matvec, prec, F, tol, maxiter):
-    """Block-CG over a whole chunk: work arrays (n, C, s), per-(cell, rhs)
+    """Block-CG over a whole chunk: work arrays (n, s, C), per-(rhs, cell)
     step sizes in lockstep; converged columns are frozen by the 0/0 guards.
     The iteration stops when the worst column's relative residual is below
-    tol (or at maxiter)."""
+    tol (or at maxiter).  Returns (X, iterations)."""
     eps = jnp.asarray(1e-30, dtype=F.dtype)
     X = prec(F)
     R = F - matvec(X)
@@ -1181,8 +1238,12 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
         pkp = jnp.sum(P * KP, axis=0)
         # guard CG breakdown (pkp <= 0 or non-finite can occur in f32 on
         # extreme-contrast coefficients): freeze the column instead of
-        # stepping with a garbage alpha
-        ok = (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz)
+        # stepping with a garbage alpha.  CONVERGED columns (best residual
+        # below tol) are frozen too — see _block_pcg_matfree's body for the
+        # lockstep near-null-mode drift this prevents.
+        ok = (
+            (pkp > 0) & jnp.isfinite(pkp) & jnp.isfinite(rz) & (brel >= tol)
+        )
         alpha = jnp.where(ok, rz / jnp.where(ok, pkp, 1.0), 0.0)
         X = X + P * alpha[None]
         R = R - KP * alpha[None]
@@ -1202,9 +1263,16 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
     state = (X, R, P, rz, jnp.array(0), X, rel0, stall0)
     out = jax.lax.while_loop(cond, body, state)
     bX = out[5]
-    # energy clamp (see _block_pcg_matfree)
+    # energy clamp + finiteness/amplification rejection (see
+    # _block_pcg_matfree for the rationale)
     E = 0.5 * jnp.sum(bX * matvec(bX), axis=0) - jnp.sum(F * bX, axis=0)
-    return jnp.where((E < 0)[None], bX, 0.0)
+    x0n = jnp.sqrt(jnp.sum(prec(F) * prec(F), axis=0))
+    good = (
+        (E < 0)
+        & jnp.all(jnp.isfinite(bX), axis=0)
+        & (jnp.sqrt(jnp.sum(bX * bX, axis=0)) <= 1e4 * (x0n + eps))
+    )
+    return jnp.where(good[None], bX, 0.0), out[4]
 
 
 def _map_chunked(fn, xs, chunk: int, chunk_fn: bool = False):
