@@ -483,6 +483,14 @@ class BaseHMM:
             and not macro_f64
             and can_shard_macro(sys.dia, shard_mesh.devices.size)
         )
+        # implicit-function-theorem VJP: the pipeline is differentiable
+        # end-to-end through the macro solve (iterative paths included)
+        from hommx_tpu.ops.solvers import make_implicit_solver
+
+        _implicit_solve = make_implicit_solver(
+            sys.cols, options, dia=sys.dia,
+            mg=None if macro_f64 else sys.mg,
+        )
         if macro_f64:
             vols, grads, verts = sys.vols64, sys.grads64, sys.verts64
             strain_P = getattr(sys, "strain_P64", None)
@@ -524,10 +532,7 @@ class BaseHMM:
                     options.maxiter,
                 )
             else:
-                x, _, _ = solve_ell(
-                    vals_bc, sys.cols, b_bc, options, dia=sys.dia,
-                    mg=None if macro_f64 else sys.mg,
-                )
+                x = _implicit_solve(vals_bc, b_bc)
             return x.astype(dtype)
 
         return step, sys.centers

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 from hommx_tpu.ops.sparse import ell_to_dense, spmv
 
-__all__ = ["cg_ell", "dense_solve_ell", "solve_ell", "cg_matfree"]
+__all__ = [
+    "cg_ell",
+    "dense_solve_ell",
+    "solve_ell",
+    "cg_matfree",
+    "pcg_prec",
+    "make_implicit_solver",
+]
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -125,6 +132,48 @@ def dense_solve_ell(vals, cols, b):
     A = 0.5 * (A + A.T)
     c, low = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve((c, low), b)
+
+
+def make_implicit_solver(cols, options, dia=None, mg=None):
+    """Differentiable macro solve via the implicit function theorem.
+
+    The iterative paths (CG while_loop) are not reverse-mode
+    differentiable by unrolling, and unrolling would be the wrong
+    derivative anyway; the implicit rule is exact at convergence: with
+    A x = b and A symmetric,
+
+        ∂L/∂b    = λ,            A λ = ∂L/∂x   (one extra solve, same
+                                               solver/preconditioner)
+        ∂L/∂a_k  = −λ_i x_j      for ELL slot k holding entry (i, j).
+
+    This is what makes ``BaseHMM.build_pipeline`` differentiable
+    end-to-end through the macro CG — a capability the reference
+    architecture cannot express (its solve is a PETSc KSP call).
+
+    Returns a function ``solve(vals, b) -> x`` with the custom VJP
+    attached; the static assembly context (cols/options/dia/mg) is closed
+    over.
+    """
+
+    def _solve(vals, b):
+        return solve_ell(vals, cols, b, options, dia=dia, mg=mg)[0]
+
+    @jax.custom_vjp
+    def solve(vals, b):
+        return _solve(vals, b)
+
+    def fwd(vals, b):
+        x = _solve(vals, b)
+        return x, (vals, x)
+
+    def bwd(residuals, xbar):
+        vals, x = residuals
+        lam = _solve(vals, xbar)  # A symmetric ⇒ adjoint = same solve
+        vbar = -(lam[:, None] * x[jnp.asarray(cols)]).reshape(vals.shape)
+        return vbar, lam
+
+    solve.defvjp(fwd, bwd)
+    return solve
 
 
 def solve_ell(vals, cols, b, options, dia=None, mg=None):
