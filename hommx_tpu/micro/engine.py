@@ -626,7 +626,7 @@ class MicroEngine:
     @_with_precision
     def tensors_chunk_pcg(
         self, coeff, centers, G_fn=None, with_correctors=False,
-        with_iters=False,
+        with_iters=False, implicit_diff=True,
     ):
         """A*(c_T) for one chunk of centers — the TPU fast path.
 
@@ -917,14 +917,15 @@ class MicroEngine:
                 prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
             else:
                 prec_eff = prec
-            Y, iters = _chunk_pcg(
+            Y, iters = _solve_linear(
                 lambda P: sc * matvec(sc * P), prec_eff, sc * F,
-                self.pcg_tol, self.pcg_maxiter,
+                self.pcg_tol, self.pcg_maxiter, with_iters, implicit_diff,
             )
             X = sc * Y
         else:
-            X, iters = _chunk_pcg(
-                matvec, prec, F, self.pcg_tol, self.pcg_maxiter
+            X, iters = _solve_linear(
+                matvec, prec, F, self.pcg_tol, self.pcg_maxiter, with_iters,
+                implicit_diff,
             )
 
         # corrected fields Φ = E + T·(D X) and A* = (1/|Y|) Φᵀ Ā Φ
@@ -1075,6 +1076,7 @@ class MicroEngine:
         G_fn: Optional[Callable] = None,
         chunk: int = 0,
         with_correctors: bool = False,
+        implicit_diff: bool = True,
     ):
         """A*(c_T) for a batch of macro cell centers (nc, d).
 
@@ -1102,7 +1104,8 @@ class MicroEngine:
         if self.solver == "pcg" and use_chunk and self.D is not None:
             return _map_chunked(
                 lambda cs: self.tensors_chunk_pcg(
-                    coeff, cs, G_fn, with_correctors=with_correctors
+                    coeff, cs, G_fn, with_correctors=with_correctors,
+                    implicit_diff=implicit_diff,
                 ),
                 centers,
                 chunk,
@@ -1249,6 +1252,31 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
         & (jnp.linalg.norm(bX, axis=0) <= 1e4 * (x0n + eps))
     )
     return jnp.where(good[None, :], bX, 0.0)
+
+
+def _solve_linear(matvec, prec, F, tol, maxiter, with_iters, implicit_diff):
+    """Chunk PCG with implicit differentiation.
+
+    ``lax.custom_linear_solve`` attaches the implicit-function-theorem
+    gradient (the adjoint is the same symmetric solve), which the PCG
+    while_loop cannot provide by unrolling — this is what makes the f32
+    chunk path differentiable like the Cholesky path.  The iteration-count
+    diagnostic bypasses the custom rule (it is not differentiable and not
+    needed under grad), and so does the shard_map micro stage
+    (custom_linear_solve does not compose with manual axes;
+    ``implicit_diff=False``).  Clamped columns (zero-corrector fallback)
+    return primal 0; their implicit gradients are those of the unclamped
+    system — degenerate cells under differentiation are the caller's
+    concern."""
+    if with_iters or not implicit_diff:
+        return _chunk_pcg(matvec, prec, F, tol, maxiter)
+    X = jax.lax.custom_linear_solve(
+        matvec,
+        F,
+        solve=lambda mv, B: _chunk_pcg(mv, prec, B, tol, maxiter)[0],
+        symmetric=True,
+    )
+    return X, None
 
 
 def _chunk_pcg(matvec, prec, F, tol, maxiter):

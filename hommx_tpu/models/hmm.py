@@ -455,10 +455,12 @@ class BaseHMM:
                     shard_map = _sm
                 # each shard runs the full engine strategy stack (densek /
                 # matfree / low-rank chunk PCG) on its local cell block, so
-                # multi-chip inherits every single-chip optimization
+                # multi-chip inherits every single-chip optimization.
+                # implicit_diff off: custom_linear_solve does not compose
+                # with shard_map's manual axes
                 return shard_map(
                     lambda cs: engine.tensors_for_centers(
-                        coeff, cs, G_fn=G_fn, chunk=chunk
+                        coeff, cs, G_fn=G_fn, chunk=chunk, implicit_diff=False
                     ),
                     mesh=shard_mesh,
                     in_specs=P(shard_mesh.axis_names[0]),

@@ -68,3 +68,36 @@ def test_grad_through_full_pipeline(options):
     fd = float((loss(1.0 + h) - loss(1.0 - h)) / (2 * h))
     assert np.isfinite(g)
     assert abs(g - fd) < 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_grad_through_micro_chunk_pcg():
+    """The f32-style chunk-PCG micro path is differentiable too
+    (lax.custom_linear_solve implicit rule), matching the exact Cholesky
+    path's gradient (run here in f64 for a clean finite-difference gate)."""
+    from hommx_tpu.micro.engine import MicroEngine
+
+    micro = create_unit_square(8, 8)
+    centers = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 2)))
+
+    def make_loss(solver, **kw):
+        eng = MicroEngine(
+            micro, bs=1, coeff_kind="scalar", dtype=jnp.float64,
+            solver=solver, pcg_tol=1e-13, **kw
+        )
+
+        def loss(theta):
+            A = lambda x, y: 1.1 + theta * x[0] + 0.5 * jnp.sin(
+                2 * jnp.pi * y[0]
+            )
+            return jnp.sum(eng.tensors_for_centers(A, centers) ** 2)
+
+        return loss
+
+    loss_pcg = make_loss("pcg", pcg_strategy="matfree")
+    loss_cho = make_loss("cholesky")
+    g_pcg = float(jax.grad(loss_pcg)(1.0))
+    g_cho = float(jax.grad(loss_cho)(1.0))
+    h = 1e-6
+    fd = float((loss_cho(1.0 + h) - loss_cho(1.0 - h)) / (2 * h))
+    assert abs(g_pcg - g_cho) < 1e-7 * max(1.0, abs(g_cho)), (g_pcg, g_cho)
+    assert abs(g_pcg - fd) < 1e-5 * max(1.0, abs(fd)), (g_pcg, fd)
