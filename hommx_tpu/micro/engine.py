@@ -235,14 +235,19 @@ class MicroEngine:
         # 16×16-micro scalar benchmark.
         self.coeff_rank = int(coeff_rank)
         # cell_prec="fft": FFT-symbol preconditioner for the chunk PCG
-        # (scalar P1 on structured box meshes).  The reduced periodic dof
+        # (P1 on structured box meshes).  The reduced periodic dof
         # space is exactly the ix-major torus grid and the constant-
         # coefficient operator K(B) is block-circulant, so its DFT symbol —
         # LINEAR in B's entries — diagonalizes it exactly
         # (benchmarks/fft_preconditioner_feasibility.py).  Per cell the
         # preconditioner uses the mean coefficient and the cell's GᵀG
         # anisotropy, removing the iteration cost of the stratified maps
-        # that the shared isotropic K₀⁻¹ cannot see.
+        # that the shared isotropic K₀⁻¹ cannot see.  Designed for scalar
+        # problems: on strongly heterogeneous elasticity (e.g. inclusion
+        # contrast 1e5) the MEAN-coefficient symbol is a weak
+        # preconditioner — columns may hit the iteration cap and take the
+        # zero-corrector fallback (watch ``diagnostics['fallback_cells']``);
+        # the per-cell dense-K default is both faster and robust there.
         if cell_prec not in ("k0inv", "fft"):
             raise ValueError("cell_prec must be 'k0inv' or 'fft'")
         self.cell_prec = cell_prec
