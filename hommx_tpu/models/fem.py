@@ -29,7 +29,13 @@ from hommx_tpu.ops.function_space import (
 from hommx_tpu.ops.solvers import solve_ell
 from hommx_tpu.utils.options import SolverOptions
 
-__all__ = ["fem_assemble_values", "fem_solve", "PoissonFEM", "LinearElasticityFEM"]
+__all__ = [
+    "fem_assemble_values",
+    "fem_solve",
+    "fem_solve_fn",
+    "PoissonFEM",
+    "LinearElasticityFEM",
+]
 
 
 def _local_matrices(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
@@ -155,6 +161,53 @@ def fem_solve(
     fn.solver_iterations = int(iters)
     fn.solver_residual = float(res)
     return fn
+
+
+def fem_solve_fn(
+    V: FunctionSpace,
+    coeff: Callable,
+    f,
+    bcs,
+    options=None,
+    quad_degree: int = 2,
+    rhs_degree: int = 2,
+    dtype=None,
+):
+    """Differentiable single-scale FEM solve as a pure function of a
+    coefficient parameter vector.
+
+    Returns ``solve(theta) -> x`` where ``coeff(theta, x_pt)`` and
+    ``f(theta, x_pt)`` receive the parameter; the macro solve carries the
+    implicit-function-theorem VJP (``ops/solvers.py::make_implicit_solver``),
+    so ``jax.grad`` through the solve is exact on every solver path — the
+    single-scale counterpart of the differentiable HMM pipeline.
+    """
+    from hommx_tpu.ops.solvers import make_implicit_solver
+
+    dtype = dtype or default_dtype()
+    options = SolverOptions.from_any(options)
+    sys = MacroSystem(V, dtype)
+    mask, bvals = merge_bcs(bcs, V.num_dofs, dtype)
+    implicit = make_implicit_solver(sys.cols, options, dia=sys.dia, mg=sys.mg)
+
+    def solve(theta):
+        kind = probe_coeff_kind(lambda x: coeff(theta, x), V.mesh.dim, nargs=1)
+        vals = fem_assemble_values(
+            sys, lambda x: coeff(theta, x), kind, quad_degree
+        )
+        b = _load_vector(sys, _as_source_theta(f, theta, V.bs), rhs_degree)
+        vals_bc, b_bc = apply_dirichlet(
+            vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+        )
+        return implicit(vals_bc, b_bc)
+
+    return solve
+
+
+def _as_source_theta(f, theta, bs):
+    if callable(f):
+        return lambda x: f(theta, x)
+    return _as_source(f, bs)
 
 
 def _as_source(f, bs: int) -> Callable:

@@ -70,6 +70,31 @@ def test_grad_through_full_pipeline(options):
     assert abs(g - fd) < 1e-5 * max(1.0, abs(fd)), (g, fd)
 
 
+def test_grad_through_single_scale_fem():
+    """fem_solve_fn: grad through the single-scale FEM solve (assembly +
+    implicit macro solve) matches finite differences."""
+    from hommx_tpu.models.fem import fem_solve_fn
+    from hommx_tpu.ops.function_space import (
+        FunctionSpace,
+        dirichletbc,
+        boundary_dofs,
+    )
+
+    mesh = create_unit_square(12, 12)
+    V = FunctionSpace(mesh, 1)
+    bcs = [dirichletbc(0.0, boundary_dofs(V), V)]
+    coeff = lambda th, x: 1.0 + th * x[0] * x[1]
+    solve = fem_solve_fn(
+        V, coeff, 1.0, bcs,
+        options=SolverOptions(method="cg", rtol=1e-13, atol=0.0),
+    )
+    loss = lambda th: jnp.sum(solve(th) ** 2)
+    g = float(jax.grad(loss)(0.7))
+    h = 1e-6
+    fd = float((loss(0.7 + h) - loss(0.7 - h)) / (2 * h))
+    assert abs(g - fd) < 1e-6 * max(1.0, abs(fd)), (g, fd)
+
+
 def test_grad_through_micro_chunk_pcg():
     """The f32-style chunk-PCG micro path is differentiable too
     (lax.custom_linear_solve implicit rule), matching the exact Cholesky
