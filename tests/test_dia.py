@@ -74,3 +74,37 @@ def test_random_offsets_pallas():
     y_ref = diam.dia_spmv(dv, offsets, x)
     y = diam.dia_spmv_pallas(dv, offsets, x, block=1024)
     assert np.allclose(np.asarray(y_ref), np.asarray(y), atol=1e-4)
+
+
+def test_pallas_matvec_inside_cg_while_loop():
+    """The production TPU CG runs the Pallas kernel inside lax.while_loop
+    (ops/solvers.py); gate the composition here in interpret mode so the
+    CPU CI covers the code shape even though the real kernel is TPU-only."""
+    import jax
+
+    from hommx_tpu.ops.solvers import pcg_prec
+
+    N = 2000
+    offsets = (-129, -1, 0, 1, 129)
+    rng = np.random.default_rng(5)
+    dv = np.abs(rng.standard_normal((len(offsets), N))).astype(np.float32)
+    # make it SPD-ish: dominant diagonal
+    dv[2] = np.sum(np.abs(dv), axis=0) + 1.0
+    dv = jnp.asarray(dv)
+    b = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    dinv = 1.0 / dv[2]
+
+    def mv_pallas(v):
+        return diam.dia_spmv_pallas(dv, offsets, v, block=1024, interpret=True)
+
+    def mv_ref(v):
+        return diam.dia_spmv(dv, offsets, v)
+
+    x_p, it_p, _ = jax.jit(
+        lambda b: pcg_prec(mv_pallas, lambda r: dinv * r, b, rtol=1e-5,
+                           atol=0.0, maxiter=200)
+    )(b)
+    x_r, it_r, _ = pcg_prec(mv_ref, lambda r: dinv * r, b, rtol=1e-5,
+                            atol=0.0, maxiter=200)
+    assert np.allclose(np.asarray(x_p), np.asarray(x_r), atol=1e-4)
+    assert abs(int(it_p) - int(it_r)) <= 1
