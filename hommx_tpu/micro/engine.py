@@ -1167,6 +1167,16 @@ class MicroEngine:
         return int(np.clip(budget // max(per_cell, 1), 1, max(nc, 1)))
 
 
+def _amp_cap(dtype) -> float:
+    """Amplification-clamp threshold of the energy clamp (≈1/√eps of the
+    working dtype).  In f32, an iterate beyond ~1e4× the preconditioned-RHS
+    scale makes the quadratic form E(X) pure cancellation noise, so such
+    columns are rejected; in f64 the same noise floor sits at ~1e8, and a
+    legitimately high-amplification cell (coefficient contrast ~1e5 with
+    ``diag_scale`` off) that converges correctly must NOT be zeroed."""
+    return 1e4 if jnp.dtype(dtype) == jnp.float32 else 1e8
+
+
 def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     """Block-CG with s simultaneous RHS on one SPD system given as a matvec,
     preconditioned by the explicit shared inverse Minv = K₀⁻¹ (columns
@@ -1254,7 +1264,7 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     good = (
         (E < 0)
         & jnp.all(jnp.isfinite(bX), axis=0)
-        & (jnp.linalg.norm(bX, axis=0) <= 1e4 * (x0n + eps))
+        & (jnp.linalg.norm(bX, axis=0) <= _amp_cap(F.dtype) * (x0n + eps))
     )
     return jnp.where(good[None, :], bX, 0.0)
 
@@ -1269,26 +1279,57 @@ def _solve_linear(matvec, prec, F, tol, maxiter, with_iters, implicit_diff):
     diagnostic bypasses the custom rule (it is not differentiable and not
     needed under grad), and so does the shard_map micro stage
     (custom_linear_solve does not compose with manual axes;
-    ``implicit_diff=False``).  Clamped columns (zero-corrector fallback)
-    return primal 0; their implicit gradients are those of the unclamped
-    system — degenerate cells under differentiation are the caller's
-    concern."""
+    ``implicit_diff=False``).
+
+    Clamped columns (zero-corrector fallback) are handled CONSISTENTLY with
+    the primal: the raw solve carries the implicit VJP, and the energy clamp
+    is applied *outside* it as ``where(good, X, 0)`` on the non-differentiable
+    boolean mask — so a clamped column returns primal 0 AND gradient 0 (the
+    primal is locally the constant 0), instead of the unclamped system's
+    gradient against a zeroed primal (round-2 advisor finding)."""
     if with_iters or not implicit_diff:
         return _chunk_pcg(matvec, prec, F, tol, maxiter)
     X = jax.lax.custom_linear_solve(
         matvec,
         F,
-        solve=lambda mv, B: _chunk_pcg(mv, prec, B, tol, maxiter)[0],
+        solve=lambda mv, B: _chunk_pcg_raw(mv, prec, B, tol, maxiter)[0],
         symmetric=True,
     )
-    return X, None
+    good = _clamp_good(matvec, prec, F, jax.lax.stop_gradient(X))
+    return jnp.where(good[None], X, 0.0), None
+
+
+def _clamp_good(matvec, prec, F, bX):
+    """Energy-clamp acceptance mask (s, C) for a raw block-PCG iterate: the
+    CG energy E(X) = ½⟨X,KX⟩ − ⟨F,X⟩ must beat E(0) = 0 (the zero corrector),
+    the iterate must be finite, and its amplification over the
+    preconditioned-RHS scale must stay below the working-dtype noise floor
+    (see _amp_cap).  Inputs are treated as constants (boolean output —
+    no gradient flows through the mask)."""
+    eps = jnp.asarray(1e-30, dtype=F.dtype)
+    E = 0.5 * jnp.sum(bX * matvec(bX), axis=0) - jnp.sum(F * bX, axis=0)
+    x0n = jnp.sqrt(jnp.sum(prec(F) * prec(F), axis=0))
+    return (
+        (E < 0)
+        & jnp.all(jnp.isfinite(bX), axis=0)
+        & (jnp.sqrt(jnp.sum(bX * bX, axis=0)) <= _amp_cap(F.dtype) * (x0n + eps))
+    )
 
 
 def _chunk_pcg(matvec, prec, F, tol, maxiter):
+    """Clamped chunk block-CG: _chunk_pcg_raw + the zero-corrector energy
+    clamp (see _clamp_good).  Returns (X, iterations)."""
+    bX, iters = _chunk_pcg_raw(matvec, prec, F, tol, maxiter)
+    good = _clamp_good(matvec, prec, F, bX)
+    return jnp.where(good[None], bX, 0.0), iters
+
+
+def _chunk_pcg_raw(matvec, prec, F, tol, maxiter):
     """Block-CG over a whole chunk: work arrays (n, s, C), per-(rhs, cell)
     step sizes in lockstep; converged columns are frozen by the 0/0 guards.
     The iteration stops when the worst column's relative residual is below
-    tol (or at maxiter).  Returns (X, iterations)."""
+    tol (or at maxiter).  Returns the UNCLAMPED best iterate (X, iterations);
+    callers apply the energy clamp (_clamp_good)."""
     eps = jnp.asarray(1e-30, dtype=F.dtype)
     X = prec(F)
     R = F - matvec(X)
@@ -1338,17 +1379,7 @@ def _chunk_pcg(matvec, prec, F, tol, maxiter):
 
     state = (X, R, P, rz, jnp.array(0), X, rel0, stall0)
     out = jax.lax.while_loop(cond, body, state)
-    bX = out[5]
-    # energy clamp + finiteness/amplification rejection (see
-    # _block_pcg_matfree for the rationale)
-    E = 0.5 * jnp.sum(bX * matvec(bX), axis=0) - jnp.sum(F * bX, axis=0)
-    x0n = jnp.sqrt(jnp.sum(prec(F) * prec(F), axis=0))
-    good = (
-        (E < 0)
-        & jnp.all(jnp.isfinite(bX), axis=0)
-        & (jnp.sqrt(jnp.sum(bX * bX, axis=0)) <= 1e4 * (x0n + eps))
-    )
-    return jnp.where(good[None], bX, 0.0), out[4]
+    return out[5], out[4]
 
 
 def _map_chunked(fn, xs, chunk: int, chunk_fn: bool = False):

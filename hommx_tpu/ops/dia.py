@@ -128,8 +128,10 @@ def dia_spmv(dia_vals: jnp.ndarray, offsets, x: jnp.ndarray) -> jnp.ndarray:
 
 def dia_spmv_cols(dia_vals: jnp.ndarray, offsets, X: jnp.ndarray) -> jnp.ndarray:
     """DIA SpMV applied to a block of column vectors X (N, B):
-    Y[i, b] = Σ_d vals[d, i] * X[i + off_d, b] — the multi-vector variant used
-    by the multigrid Galerkin probing (ops/multigrid.py) and block solves."""
+    Y[i, b] = Σ_d vals[d, i] * X[i + off_d, b] — the multi-vector companion
+    of :func:`dia_spmv` for block solves and probing against a DIA operator
+    (multigrid's Galerkin probing uses its own grid-structured
+    ``_stencil_matvec`` instead; this is the public multi-RHS entry)."""
     N = X.shape[0]
     P = max(max(abs(o) for o in offsets), 1)
     Xp = jnp.pad(X, ((P, P), (0, 0)))

@@ -462,11 +462,14 @@ def _smoother(bvals, lev: _Level, bs: int, v0):
     Chebyshev λmax(M⁻¹A) estimate for one level.
 
     λmax: a power iteration (16 traced matvecs — noise next to one solve)
-    converges from below; 10% headroom on top, capped by the rigorous
-    Gershgorin-type bound λmax(M⁻¹A) ≤ λmax(M⁻¹D)·λmax(D⁻¹A) (per-row
-    absolute sums of the stencil blocks are exact row sums of |A|).
-    Chebyshev tolerates an overestimate (slightly weaker smoothing) but
-    diverges on an underestimate, so the cap keeps pathological cases safe.
+    converges from below; 30% headroom on top (power iteration from a fixed
+    stored start vector can sit well under λmax when the top eigenspace is
+    nearly orthogonal to it — wide headroom costs a little smoothing
+    strength but is safe against the underestimate that makes Chebyshev
+    AMPLIFY the top modes), capped by the rigorous Gershgorin-type bound
+    λmax(M⁻¹A) ≤ λmax(M⁻¹D)·λmax(D⁻¹A) (per-row absolute sums of the
+    stencil blocks are exact row sums of |A|), which only bounds
+    overestimates.
 
     Returns (papply, lmax).
     """
@@ -507,7 +510,7 @@ def _smoother(bvals, lev: _Level, bs: int, v0):
     # ⟨Av, M⁻¹Av⟩/⟨v, Av⟩ — the Rayleigh quotient of A^½M⁻¹A^½ at A^½v,
     # hence a lower bound on λmax(M⁻¹A) that needs only M⁻¹ (papply)
     lam = jnp.vdot(Av, papply(Av)) / (jnp.vdot(v, Av) + 1e-30)
-    return papply, jnp.minimum(cap, 1.1 * lam)
+    return papply, jnp.minimum(cap, 1.3 * lam)
 
 
 def _coarsen(struct: MGStructure, lev_idx: int, bvals_f, zmask_f):

@@ -59,8 +59,9 @@ def sharded_solve_dia(
     rtol: float,
     maxiter: int,
     axis: str = None,
+    prec_full=None,
 ):
-    """Jacobi-preconditioned CG with row-sharded DIA storage.
+    """Preconditioned CG with row-sharded DIA storage.
 
     Args:
         mesh: 1D device mesh.
@@ -68,6 +69,18 @@ def sharded_solve_dia(
         dvals: (n_offsets, N) DIA values of the BC-applied operator.
         b: (N,) right-hand side.
         diag: (N,) matrix diagonal (for the Jacobi preconditioner).
+        prec_full: optional replicated preconditioner ``z = prec_full(r)``
+            on the FULL (N,) residual — e.g. the geometric-multigrid V-cycle
+            (ops/multigrid.py).  The residual is all-gathered (one tiled
+            ICI collective per iteration, same volume as a halo sweep of a
+            few diagonals), every device applies the V-cycle redundantly
+            (coarse-grid work is far too small to shard profitably — the
+            reference's GAMG makes the same replicate-the-coarse-levels
+            trade via processor agglomeration), and each keeps its row
+            block.  The Krylov iteration itself — matvec, axpys, psum dot
+            products — stays fully row-sharded, and with multigrid the
+            iteration count (hence total communication) drops by orders of
+            magnitude.  None → local Jacobi from ``diag``.
     Returns: (x, iters, residual_norm) — x replicated, like the reference's
         ``scatter_forward`` after the KSP solve (``hmm.py:490``).
     """
@@ -117,9 +130,20 @@ def sharded_solve_dia(
     )
     def run(vals_l, b_l, diag_l):
         dinv = jnp.where(jnp.abs(diag_l) > 0, 1.0 / diag_l, 1.0)
+
+        if prec_full is None:
+            prec = lambda r_l: dinv * r_l
+        else:
+
+            def prec(r_l):
+                r_g = jax.lax.all_gather(r_l, axis, tiled=True)  # (N + pad,)
+                z_g = jnp.pad(prec_full(r_g[:N]), (0, n_pad))
+                i = jax.lax.axis_index(axis)
+                return jax.lax.dynamic_slice(z_g, (i * block,), (block,))
+
         x = jnp.zeros_like(b_l)
         r = b_l
-        z = dinv * r
+        z = prec(r)
         p = z
         rz = pdot(r, z)
         bnorm = jnp.sqrt(pdot(b_l, b_l))
@@ -135,7 +159,7 @@ def sharded_solve_dia(
             alpha = rz / pdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = dinv * r
+            z = prec(r)
             rz_new = pdot(r, z)
             beta = rz_new / rz
             p = z + beta * p

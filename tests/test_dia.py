@@ -108,3 +108,18 @@ def test_pallas_matvec_inside_cg_while_loop():
                             atol=0.0, maxiter=200)
     assert np.allclose(np.asarray(x_p), np.asarray(x_r), atol=1e-4)
     assert abs(int(it_p) - int(it_r)) <= 1
+
+
+def test_dia_spmv_cols_matches_per_column():
+    """dia_spmv_cols (multi-RHS) agrees with dia_spmv applied per column."""
+    mesh = create_unit_square(9)
+    pat, vals = _matrix_for(mesh)
+    d = diam.build_dia_from_ell(pat)
+    dv = diam.ell_vals_to_dia(d, vals)
+    X = jnp.asarray(
+        np.random.default_rng(7).standard_normal((mesh.num_vertices, 4))
+    )
+    Y = diam.dia_spmv_cols(dv, d.offsets, X)
+    for b in range(X.shape[1]):
+        yb = diam.dia_spmv(dv, d.offsets, X[:, b])
+        assert np.allclose(np.asarray(Y[:, b]), np.asarray(yb), atol=1e-12)

@@ -126,3 +126,38 @@ def test_grad_through_micro_chunk_pcg():
     fd = float((loss_cho(1.0 + h) - loss_cho(1.0 - h)) / (2 * h))
     assert abs(g_pcg - g_cho) < 1e-7 * max(1.0, abs(g_cho)), (g_pcg, g_cho)
     assert abs(g_pcg - fd) < 1e-5 * max(1.0, abs(fd)), (g_pcg, fd)
+
+
+def test_clamped_columns_zero_gradient():
+    """Columns the energy clamp forces to the zero corrector return a
+    gradient consistent with their primal: zero (round-2 advisor finding —
+    previously the implicit VJP was that of the UNCLAMPED system against a
+    zeroed primal).  maxiter=0 leaves the initial iterate X0 = M⁻¹F, whose
+    energy on K = 1000·I is E = 500·‖F‖² − ‖F‖² > 0, so every column clamps;
+    with enough iterations no column clamps and the implicit gradient is the
+    analytic one."""
+    from hommx_tpu.micro.engine import _solve_linear
+
+    n, s, C = 8, 2, 3
+    K = 1000.0 * jnp.eye(n)
+    matvec = lambda X: jnp.einsum("nm,msc->nsc", K, X)
+    prec = lambda R: R
+    rng = np.random.default_rng(11)
+    F = jnp.asarray(rng.standard_normal((n, s, C)))
+
+    def loss(F, maxiter):
+        X, _ = _solve_linear(matvec, prec, F, 1e-13, maxiter, False, True)
+        return jnp.sum(X**2), X
+
+    (val, X0), g0 = jax.value_and_grad(
+        lambda F: loss(F, 0), has_aux=True
+    )(F)
+    assert float(jnp.max(jnp.abs(X0))) == 0.0  # all columns clamped
+    assert float(val) == 0.0
+    assert float(jnp.max(jnp.abs(g0))) == 0.0  # ... and their gradients
+
+    (_, X1), g1 = jax.value_and_grad(
+        lambda F: loss(F, 200), has_aux=True
+    )(F)
+    assert np.allclose(np.asarray(X1), np.asarray(F) / 1000.0, atol=1e-12)
+    assert np.allclose(np.asarray(g1), 2.0 * np.asarray(F) / 1e6, atol=1e-12)
