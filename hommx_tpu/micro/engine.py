@@ -386,8 +386,13 @@ class MicroEngine:
         self._eye_sym = (
             _sym_map(jnp.eye(d, dtype=self.dtype)) if bs == d else None
         )
-        if self.solver == "pcg":
+        if self.solver == "pcg" or (
+            self.solver == "cholesky"
+            and self.diag_scale
+            and jnp.dtype(self.dtype) == jnp.float32
+        ):
             self._get_K0inv()  # build eagerly — np.linalg.inv can't trace
+            # (the f32 Cholesky path needs only _K0diag for equilibration)
         if self.cell_prec == "fft":
             self._get_fft_symbols()  # eager — host FFT can't trace
 
@@ -471,8 +476,28 @@ class MicroEngine:
             )
             K = K * keep[:, None] * keep[None, :] + jnp.diag(pinf)
             if self.solver == "cholesky":
-                c, low = jax.scipy.linalg.cho_factor(K)
-                X = jax.scipy.linalg.cho_solve((c, low), F)
+                if jnp.dtype(self.dtype) == jnp.float32 and self.diag_scale:
+                    # f32 robustness on contrast-heavy cells (round 3):
+                    # symmetric diagonal equilibration K_s = S K S (same S
+                    # as the PCG path — brings κ near its diagonal-scaled
+                    # optimum) + one iterative-refinement sweep, which
+                    # removes the O(κ_s·eps) factorization error at the
+                    # cost of one matvec + one triangular solve.  Unlike
+                    # the PCG path, the direct solve has NO
+                    # iteration-count sensitivity to per-cell rotations —
+                    # the stratified beam cells cost the same as aligned
+                    # ones (measured 5x end-to-end on the rotated-fiber
+                    # profile, benchmarks/elasticity_profile3.py).
+                    sc = self._scale_from_diag(jnp.diagonal(K))[:, None]
+                    Ks = sc * K * sc.T
+                    c, low = jax.scipy.linalg.cho_factor(Ks)
+                    Y = jax.scipy.linalg.cho_solve((c, low), sc * F)
+                    X = sc * Y
+                    R = F - K @ X
+                    X = X + sc * jax.scipy.linalg.cho_solve((c, low), sc * R)
+                else:
+                    c, low = jax.scipy.linalg.cho_factor(K)
+                    X = jax.scipy.linalg.cho_solve((c, low), F)
             elif self.diag_scale:
                 sc = self._scale_from_diag(jnp.diagonal(K))[:, None]
                 Y = _block_pcg_matfree(

@@ -82,6 +82,7 @@ class BaseHMM:
         dtype=None,
         chunk: int = 0,
         engine_kwargs: Optional[dict] = None,
+        shard_mesh=None,
         # reference-compat aliases
         petsc_options_global_solve: Optional[dict] = None,
         petsc_options_cell_problem: Optional[dict] = None,
@@ -103,6 +104,13 @@ class BaseHMM:
                 PETSc-style dicts.
             engine_kwargs: extra MicroEngine options (e.g. ``solver``,
                 ``pcg_tol``, ``diag_scale``) for expert tuning.
+            shard_mesh: optional 1D ``jax.sharding.Mesh`` — ``solve()`` then
+                runs the micro stage sharded over the macro-cell batch and
+                routes CG macro solves through the row-sharded psum-CG
+                (parallel/macro.py), multigrid-preconditioned when
+                available.  The TPU-native analogue of the reference's
+                "launch the same code under mpirun" transparency
+                (``hmm.py:544-551``): same class, same call, N devices.
         """
         if msh.dim not in (2, 3):
             raise ValueError("Topology should be 3D or 2D")
@@ -120,6 +128,7 @@ class BaseHMM:
         self._options_cell = SolverOptions.from_any(options_cell_problem)
         self._chunk = chunk
         self._quad_degree_rhs = quad_degree_rhs
+        self._shard_mesh = shard_mesh
 
         bs = self._block_size()
         self._V_macro = FunctionSpace(msh, bs)
@@ -193,16 +202,39 @@ class BaseHMM:
         self._macro_jit = None  # f is traced into the macro pipeline
 
     def homogenized_tensors(self) -> jnp.ndarray:
-        """A*(c_T) per macro cell, (nc, s, s) — the micro stage output."""
+        """A*(c_T) per macro cell, (nc, s, s) — the micro stage output.
+
+        With ``shard_mesh`` the cell batch is sharded over the device mesh
+        (GSPMD partitions the batched cell solves; the batch axis is
+        embarrassingly parallel, so no communication is introduced) — the
+        analogue of the reference's each-rank-owns-its-cells loop
+        (``hmm.py:307,544-551``)."""
         if self._A_star is None:
             if self._tensor_jit is None:
-                self._tensor_jit = jax.jit(
-                    lambda centers: self._engine.tensors_for_centers(
+
+                def micro(centers):
+                    centers = self._shard_cells(centers)
+                    return self._engine.tensors_for_centers(
                         self._coeff, centers, G_fn=self._G_fn(), chunk=self._chunk
                     )
-                )
+
+                self._tensor_jit = jax.jit(micro)
             self._A_star = jax.block_until_ready(self._tensor_jit(self._sys.centers))
         return self._A_star
+
+    def _shard_cells(self, centers):
+        """Sharding constraint on the macro-cell batch (no-op without
+        ``shard_mesh``)."""
+        if self._shard_mesh is None:
+            return centers
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            centers,
+            NamedSharding(
+                self._shard_mesh, PartitionSpec(self._shard_mesh.axis_names[0])
+            ),
+        )
 
     def cell_correctors(self, cells=None):
         """Generator correctors on the micro mesh for selected macro cells.
@@ -407,30 +439,64 @@ class BaseHMM:
             vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
 
+    def _use_sharded_macro(self) -> bool:
+        """Sharded macro CG applies when: a mesh is set, the solve is on the
+        iterative path (the tiny direct-path systems stay replicated, like
+        the reference's sub-communicator direct solves), and the DIA halo
+        structure admits row sharding."""
+        if self._shard_mesh is None or self._macro_f64:
+            return False
+        from hommx_tpu.parallel.macro import can_shard_macro
+
+        return can_shard_macro(self._sys.dia, self._shard_mesh.devices.size)
+
     def _macro_solve(self, vals_bc, b_bc):
         sys = self._sys
         mg = None if self._macro_f64 else sys.mg  # direct path never needs it
+        if self._use_sharded_macro():
+            from hommx_tpu.parallel.macro import make_sharded_solver
+
+            solver = make_sharded_solver(
+                self._shard_mesh, sys.dia, sys.cols, self._options_global, mg=mg
+            )
+            return solver.full(vals_bc, b_bc)
         return solve_ell(
             vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia, mg=mg
         )
 
-    def build_pipeline(self, shard_mesh=None):
+    def build_pipeline(self, shard_mesh=None, shard_mode: str = "auto"):
         """Return a pure jittable function ``step(centers) -> u`` running the
         entire HMM solve (micro stage + macro assembly + macro solve).
 
         This is the TPU-first capability the reference architecture cannot
         express: the whole solver is one traced program — jit it, grad
         through it, or shard it.  With ``shard_mesh`` (a 1D
-        ``jax.sharding.Mesh``), the micro stage runs under ``shard_map`` over
-        the macro-cell batch (the TPU-native replacement for the reference's
-        MPI domain decomposition, ``hmm.py:544-551``) and a CG macro solve
-        runs row-sharded with psum collectives (parallel/macro.py — the
-        analogue of the reference's COMM_WORLD-partitioned KSP,
-        ``hmm.py:144-149,482-483``); the small-system direct path stays
+        ``jax.sharding.Mesh``; defaults to the constructor's), the micro
+        stage is sharded over the macro-cell batch (the TPU-native
+        replacement for the reference's MPI domain decomposition,
+        ``hmm.py:544-551``) and a CG macro solve runs row-sharded with psum
+        collectives and the multigrid V-cycle preconditioner when available
+        (parallel/macro.py — the analogue of the reference's
+        COMM_WORLD-partitioned KSP under GAMG, ``hmm.py:144-149,482-483``
+        with ``rotated_fibers.py:98``); the small-system direct path stays
         replicated (macro systems are small by HMM design).
 
+        Args:
+            shard_mesh: optional 1D device mesh.
+            shard_mode: how the micro stage is sharded.
+                ``"auto"`` (default) — a GSPMD sharding constraint on the
+                cell batch; composes with implicit differentiation, so the
+                sharded pipeline is differentiable end-to-end exactly like
+                the unsharded one.  ``"shard_map"`` — explicit per-device
+                blocks (each device runs the full engine strategy stack on
+                its local cells); primal-only: the micro stage drops the
+                implicit-diff rule (``lax.custom_linear_solve`` does not
+                compose with shard_map's manual axes), while the macro
+                solve keeps its VJP in both modes.
+
         Returns: (step_fn, example_centers).  ``centers`` must have static
-        shape (num_cells, dim); with sharding, num_cells must divide evenly.
+        shape (num_cells, dim); with shard_map, num_cells must divide the
+        device count evenly.
         """
         engine = self._engine
         sys = self._sys
@@ -443,9 +509,12 @@ class BaseHMM:
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, bc_dtype)
         options = self._options_global
         chunk = self._chunk
+        shard_mesh = shard_mesh if shard_mesh is not None else self._shard_mesh
+        if shard_mode not in ("auto", "shard_map"):
+            raise ValueError("shard_mode must be 'auto' or 'shard_map'")
 
         def micro_stage(centers):
-            if shard_mesh is not None:
+            if shard_mesh is not None and shard_mode == "shard_map":
                 from jax.sharding import PartitionSpec as P
 
                 shard_map = getattr(jax, "shard_map", None)
@@ -466,6 +535,15 @@ class BaseHMM:
                     in_specs=P(shard_mesh.axis_names[0]),
                     out_specs=P(shard_mesh.axis_names[0]),
                 )(centers)
+            if shard_mesh is not None:  # "auto": GSPMD batch partitioning
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                centers = jax.lax.with_sharding_constraint(
+                    centers,
+                    NamedSharding(
+                        shard_mesh, PartitionSpec(shard_mesh.axis_names[0])
+                    ),
+                )
             return engine.tensors_for_centers(coeff, centers, G_fn=G_fn, chunk=chunk)
 
         macro_f64 = self._macro_f64
@@ -486,13 +564,24 @@ class BaseHMM:
             and can_shard_macro(sys.dia, shard_mesh.devices.size)
         )
         # implicit-function-theorem VJP: the pipeline is differentiable
-        # end-to-end through the macro solve (iterative paths included)
-        from hommx_tpu.ops.solvers import make_implicit_solver
+        # end-to-end through the macro solve (iterative paths included),
+        # sharded or not — the sharded solver wraps the row-sharded psum-CG
+        # (MG-preconditioned when available) in the same implicit rule.
+        if shard_macro:
+            from hommx_tpu.parallel.macro import make_sharded_solver
 
-        _implicit_solve = make_implicit_solver(
-            sys.cols, options, dia=sys.dia,
-            mg=None if macro_f64 else sys.mg,
-        )
+            _implicit_solve = make_sharded_solver(
+                shard_mesh, sys.dia, sys.cols, options,
+                mg=None if macro_f64 else sys.mg,
+            )
+        else:
+            from hommx_tpu.ops.solvers import make_implicit_solver
+
+            _solve_x = make_implicit_solver(
+                sys.cols, options, dia=sys.dia,
+                mg=None if macro_f64 else sys.mg,
+            )
+            _implicit_solve = lambda v, b: (_solve_x(v, b), None, None)
         if macro_f64:
             vols, grads, verts = sys.vols64, sys.grads64, sys.verts64
             strain_P = getattr(sys, "strain_P64", None)
@@ -518,23 +607,7 @@ class BaseHMM:
             vals_bc, b_bc = apply_dirichlet(
                 vals, sys.cols, sys.diag_slots, b, mask, bvals_m, dia=sys.dia
             )
-            if shard_macro:
-                from hommx_tpu.ops.dia import ell_vals_to_dia
-                from hommx_tpu.ops.solvers import _ell_diag
-                from hommx_tpu.parallel.macro import sharded_solve_dia
-
-                x, _, _ = sharded_solve_dia(
-                    shard_mesh,
-                    sys.dia,
-                    ell_vals_to_dia(sys.dia, vals_bc),
-                    b_bc,
-                    _ell_diag(vals_bc, sys.cols),
-                    options.atol,
-                    options.rtol,
-                    options.maxiter,
-                )
-            else:
-                x = _implicit_solve(vals_bc, b_bc)
+            x = _implicit_solve(vals_bc, b_bc)[0]
             return x.astype(dtype)
 
         return step, sys.centers

@@ -206,6 +206,11 @@ class MGStructure:
     fine_offsets: tuple  # DIA offsets of the fine operator
     fine_src: np.ndarray  # gather indices into flat (n_off·N) DIA values
     fine_dst: np.ndarray  # matching scatter indices into flat stencil vals
+    # odd-interval grids are ghost-padded to even (see build_mg_structure):
+    # real_idx maps original flat dofs → padded flat dofs (None: no padding),
+    # ghost_diag_dst marks the padded stencil's ghost diagonal slots
+    real_idx: Optional[np.ndarray] = None
+    ghost_diag_dst: Optional[np.ndarray] = None
 
     @property
     def num_levels(self) -> int:
@@ -291,12 +296,27 @@ def build_mg_structure(
     diagonal = getattr(structure, "diagonal", "right")
     rng = np.random.default_rng(7)
 
+    # Odd-interval axes are ghost-padded to even (round 3): one extra
+    # interval of decoupled identity rows at the far end makes the axis
+    # coarsenable.  The padded operator is block-diag(A, I), so the V-cycle
+    # restricted back to the real dofs stays SPD (congruence E M_pad Eᵀ),
+    # and ghost rows ride the existing Dirichlet identity-row machinery
+    # (zero off-diagonal mass ⇒ zmask 0).  This closes the reference gap
+    # where GAMG accepts the default 15×15-descended odd meshes
+    # (``test_integration_poisson.py:60-73``) but the round-2 geometric
+    # hierarchy declined them.
+    intervals_p = tuple(n + 1 if (n % 2 and n >= 3) else n for n in intervals)
+    grid_p = tuple(n + 1 for n in intervals_p)
+    padded = intervals_p != intervals
+    n_nodes_f = int(np.prod(grid_p))
+
     # fine-level re-pack: flat DIA slot (offset o, row (n, ci)) → stencil
     # block (δ, n, ci, cj) with cj ≡ ci + o (mod bs) and δ the balanced
-    # decomposition of (o - (cj - ci))/bs.  Slots whose δ leaves {-1,0,1}^d
-    # hold exact zeros (no such grid edge) and are dropped.
-    n_nodes_f = int(np.prod(grid))
-    N = n_nodes_f * bs
+    # decomposition of (o - (cj - ci))/bs IN THE ORIGINAL grid strides
+    # (DIA offsets live in the original flat index space); destination
+    # indices use the padded grid.  Slots whose δ leaves {-1,0,1}^d hold
+    # exact zeros (no such grid edge) and are dropped.
+    N = int(np.prod(grid)) * bs
     strides = _grid_strides(grid)
     fine_node_offsets = []
     pack = []  # (offset_index, ci, cj, δ_index)
@@ -311,26 +331,50 @@ def build_mg_structure(
                 fine_node_offsets.append(digits)
             pack.append((oi, ci, cj, fine_node_offsets.index(digits)))
     fine_node_offsets = tuple(fine_node_offsets)
-    nδ_f = len(fine_node_offsets)
+    if padded:
+        coords = np.stack(
+            np.meshgrid(*[np.arange(g) for g in grid], indexing="ij"), axis=-1
+        ).reshape(-1, d)
+        strides_p = _grid_strides(grid_p)
+        rows = coords @ np.asarray(strides_p, dtype=np.int64)  # orig→padded
+        real_mask = np.zeros(n_nodes_f, dtype=bool)
+        real_mask[rows] = True
+        ghost = np.nonzero(~real_mask)[0]
+        i0d = fine_node_offsets.index((0,) * d)
+        comp = np.arange(bs, dtype=np.int64)
+        ghost_diag_dst = (
+            ((i0d * n_nodes_f + ghost[:, None]) * bs + comp[None, :]) * bs
+            + comp[None, :]
+        ).reshape(-1)
+        real_idx = (rows[:, None] * bs + comp[None, :]).reshape(-1)
+    else:
+        rows = np.arange(n_nodes_f, dtype=np.int64)
+        real_idx = None
+        ghost_diag_dst = None
     src, dst = [], []
-    rows = np.arange(n_nodes_f, dtype=np.int64)
     for oi, ci, cj, di in pack:
-        src.append(oi * N + rows * bs + ci)
+        src.append(oi * N + np.arange(N // bs, dtype=np.int64) * bs + ci)
         dst.append(((di * n_nodes_f + rows) * bs + ci) * bs + cj)
     fine_src = np.concatenate(src)
     fine_dst = np.concatenate(dst)
 
     levels = [
         _Level(
-            intervals, grid, fine_node_offsets, None, None,
-            rng.standard_normal(N),
+            intervals_p, grid_p, fine_node_offsets, None, None,
+            rng.standard_normal(n_nodes_f * bs),
         )
     ]
     node_offsets = tuple(itertools.product((-1, 0, 1), repeat=d))
+    # padded axes keep their physical h (the ghost interval is fictitious):
+    # scale extents so the semicoarsening heuristic sees the true h
     extents = np.asarray(structure.hi, dtype=np.float64) - np.asarray(
         structure.lo, dtype=np.float64
     )
-    cur = intervals
+    extents = extents * (
+        np.asarray(intervals_p, dtype=np.float64)
+        / np.asarray(intervals, dtype=np.float64)
+    )
+    cur = intervals_p
     while True:
         # semicoarsening for anisotropic meshes: coarsen the strongly
         # coupled (small-h) axes only — coarsening a weakly coupled axis
@@ -361,7 +405,8 @@ def build_mg_structure(
     if len(levels) < 2:
         return None
     return MGStructure(
-        d, bs, diagonal, tuple(levels), tuple(dia.offsets), fine_src, fine_dst
+        d, bs, diagonal, tuple(levels), tuple(dia.offsets), fine_src,
+        fine_dst, real_idx, ghost_diag_dst,
     )
 
 
@@ -414,7 +459,8 @@ def _stencil_matvec(bvals, lev: _Level, bs: int, X):
 
 
 def _pack_fine(struct: MGStructure, fine_vals):
-    """Flat DIA values → level-0 block-stencil values (one static scatter)."""
+    """Flat DIA values → level-0 block-stencil values (one static scatter);
+    ghost-padded rows (odd-grid padding) get the identity diagonal."""
     lev0 = struct.levels[0]
     n_nodes = int(np.prod(lev0.grid))
     bs = struct.bs
@@ -424,6 +470,8 @@ def _pack_fine(struct: MGStructure, fine_vals):
     out = out.at[jnp.asarray(struct.fine_dst)].set(
         fine_vals.reshape(-1)[jnp.asarray(struct.fine_src)]
     )
+    if struct.ghost_diag_dst is not None:
+        out = out.at[jnp.asarray(struct.ghost_diag_dst)].set(1.0)
     return out.reshape(len(lev0.node_offsets), n_nodes, bs, bs)
 
 
@@ -666,8 +714,17 @@ def mg_setup(struct: MGStructure, fine_vals):
 def mg_vcycle(struct: MGStructure, state, r):
     """One V(ν,ν) cycle applied to the residual r — the preconditioner
     application M⁻¹r.  Symmetric positive definite (variational hierarchy +
-    identical pre/post Chebyshev smoothing), so it composes with CG."""
-    return _vcycle(struct, state, r, 0)
+    identical pre/post Chebyshev smoothing), so it composes with CG.  On
+    ghost-padded hierarchies (odd-interval grids) the residual is embedded
+    with zeros on the ghost dofs and the correction restricted back — a
+    congruence E M_pad Eᵀ of the SPD padded V-cycle, hence still SPD."""
+    if struct.real_idx is None:
+        return _vcycle(struct, state, r, 0)
+    lev0 = struct.levels[0]
+    n_pad = int(np.prod(lev0.grid)) * struct.bs
+    idx = jnp.asarray(struct.real_idx)
+    r_p = jnp.zeros(n_pad, dtype=r.dtype).at[idx].set(r)
+    return _vcycle(struct, state, r_p, 0)[idx]
 
 
 def _vcycle(struct, state, b, li):

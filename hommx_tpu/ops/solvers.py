@@ -24,6 +24,7 @@ __all__ = [
     "cg_matfree",
     "pcg_prec",
     "make_implicit_solver",
+    "implicit_wrap",
 ]
 
 
@@ -154,21 +155,30 @@ def make_implicit_solver(cols, options, dia=None, mg=None):
     attached; the static assembly context (cols/options/dia/mg) is closed
     over.
     """
+    return implicit_wrap(
+        lambda vals, b: solve_ell(vals, cols, b, options, dia=dia, mg=mg)[0],
+        cols,
+    )
 
-    def _solve(vals, b):
-        return solve_ell(vals, cols, b, options, dia=dia, mg=mg)[0]
+
+def implicit_wrap(solve_fn, cols):
+    """Attach the implicit-function-theorem VJP (see make_implicit_solver)
+    to an arbitrary symmetric ELL solve ``solve_fn(vals, b) -> x`` — e.g.
+    the row-sharded psum-CG (parallel/macro.py), whose while_loop has no
+    reverse rule of its own.  The adjoint solve reuses ``solve_fn``, so a
+    sharded forward gets a sharded backward."""
 
     @jax.custom_vjp
     def solve(vals, b):
-        return _solve(vals, b)
+        return solve_fn(vals, b)
 
     def fwd(vals, b):
-        x = _solve(vals, b)
+        x = solve_fn(vals, b)
         return x, (vals, x)
 
     def bwd(residuals, xbar):
         vals, x = residuals
-        lam = _solve(vals, xbar)  # A symmetric ⇒ adjoint = same solve
+        lam = solve_fn(vals, xbar)  # A symmetric ⇒ adjoint = same solve
         vbar = -(lam[:, None] * x[jnp.asarray(cols)]).reshape(vals.shape)
         return vbar, lam
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-__all__ = ["sharded_solve_dia", "can_shard_macro"]
+__all__ = ["sharded_solve_dia", "can_shard_macro", "make_sharded_solver"]
 
 
 def _shard_map():
@@ -172,3 +172,53 @@ def sharded_solve_dia(
 
     x_p, iters, res = run(dvals_p, b_p, diag_p)
     return x_p[:N], iters, res
+
+
+def make_sharded_solver(mesh, dia, cols, options, mg=None):
+    """Build the full distributed macro solve ``solve(vals_bc, b_bc) ->
+    (x, iters, res)`` from BC-applied ELL values: DIA conversion, optional
+    geometric-multigrid preconditioning (the V-cycle applied replicated —
+    see sharded_solve_dia's prec_full), the row-sharded psum-CG, and the
+    implicit-function-theorem VJP (ops/solvers.py::implicit_wrap), which
+    makes the SHARDED pipeline differentiable end-to-end like the
+    replicated one.
+
+    This is the composition the reference gets from one PETSc options dict:
+    ``{"ksp_type": "cg", "pc_type": "gamg"}`` runs multigrid-preconditioned
+    CG distributed over COMM_WORLD (reference
+    ``examples/linear_elasticity/rotated_fibers.py:98`` with
+    ``hmm.py:157,482-483``).
+    """
+    from hommx_tpu.ops.dia import ell_vals_to_dia
+    from hommx_tpu.ops.solvers import _ell_diag, implicit_wrap
+
+    use_mg = mg is not None and options.pc in ("auto", "mg")
+
+    def solve_full(vals_bc, b_bc):
+        dvals = ell_vals_to_dia(dia, vals_bc)
+        prec_full = None
+        if use_mg:
+            from hommx_tpu.ops.multigrid import mg_setup, mg_vcycle
+
+            state = mg_setup(mg, dvals)
+            prec_full = lambda r: mg_vcycle(mg, state, r)
+        return sharded_solve_dia(
+            mesh,
+            dia,
+            dvals,
+            b_bc,
+            _ell_diag(vals_bc, cols),
+            options.atol,
+            options.rtol,
+            options.maxiter,
+            prec_full=prec_full,
+        )
+
+    solve_x = implicit_wrap(lambda v, b: solve_full(v, b)[0], cols)
+
+    def solve(vals_bc, b_bc):
+        x = solve_x(vals_bc, b_bc)
+        return x, jnp.array(0), jnp.array(0.0, dtype=b_bc.dtype)
+
+    solve.full = solve_full  # diagnostics path: (x, iters, res), no VJP
+    return solve
