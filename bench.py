@@ -57,8 +57,10 @@ def main():
         return engine.tensors_for_centers(coeff, c, chunk=chunk)
 
     # compile + warm up; fresh inputs per rep (defends against any
-    # result-memoization in the runtime tunnel)
-    reps = 3 if on_tpu else 1
+    # result-memoization in the runtime tunnel — and the coefficient
+    # depends on x, so nothing constant-folds; see docs/performance.md on
+    # the round-3 benchmark-fiction findings)
+    reps = 5 if on_tpu else 1
     batches = [
         jnp.asarray(rng.uniform(0, 1, size=(n_cells, 2)), dtype=dtype)
         for _ in range(reps + 1)
@@ -67,13 +69,18 @@ def main():
     # jax.block_until_ready can return before execution finishes, which
     # would make the timings fiction.
     _ = float(jnp.sum(run(batches[0])))
-    t0 = time.perf_counter()
+    times = []
     checksums = []
     for i in range(reps):
+        t0 = time.perf_counter()
         checksums.append(float(jnp.sum(run(batches[i + 1]))))
-    dt = (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
     assert len(set(checksums)) == reps, "reps produced identical results"
 
+    # the axon tunnel shows ±30% run-to-run variance: report the MEDIAN as
+    # the headline (the driver-reproducible number) plus the per-rep times
+    # and spread, so docs quote what reruns actually reproduce
+    dt = float(np.median(times))
     nrhs = engine.s  # d generator correctors per cell
     solves_per_sec = n_cells * nrhs / dt
     result = {
@@ -81,6 +88,10 @@ def main():
         "value": round(float(solves_per_sec), 1),
         "unit": "solves/s",
         "vs_baseline": round(float(solves_per_sec) / 1e5, 3),
+        "reps_ms": [round(t * 1e3, 1) for t in times],
+        "spread_pct": round(
+            100.0 * (max(times) - min(times)) / dt, 1
+        ),
     }
     print(json.dumps(result))
 

@@ -135,7 +135,16 @@ class MicroEngine:
             raise ValueError("micro_degree must be 1 or 2")
         self.micro_degree = int(micro_degree)
         self.r = d if bs == 1 else d * d  # gradient components per element
-        self.s = d if bs == 1 else d * d  # number of generator problems
+        # Number of generator problems actually SOLVED: d for scalar,
+        # d(d+1)/2 for elasticity (round 3).  The d² symmetrized generators
+        # E_kl of the reference formulation satisfy E[:,kl] == E[:,lk]
+        # exactly (minor symmetry), so their correctors and every derived
+        # quantity are duplicates; the engine solves the Voigt set and
+        # expands A*/correctors back to the (d², d²) layout on output
+        # (_expand_astar/_expand_cols) — identical results, 2D: 4→3,
+        # 3D: 9→6 right-hand sides through the whole solve pipeline.
+        self.s = d if bs == 1 else d * (d + 1) // 2
+        self.s_full = d if bs == 1 else d * d  # output layout (macro side)
         if micro_degree == 2:
             # P2 cell problems: periodic identification extends to edge-
             # midpoint dofs by the same hi→lo fold rule (periodic.py); the
@@ -165,13 +174,33 @@ class MicroEngine:
         self.n_reduced = self.pmap.n_reduced * self.bs
         self.volume_Y = micro_mesh.volume()
         if assembly == "auto":
-            assembly = "dense" if self.n_reduced <= 512 else "scatter"
+            if bs > 1 and jnp.dtype(self.dtype) == jnp.float32:
+                # round 3: scatter assembly avoids the per-cell
+                # (nE·r, n)ᵀ(nE·r, n) dense-K matmul (255 MFLOP + a 2.6 MB
+                # intermediate per 3D-elasticity cell) — measured 490 vs
+                # 547 ms on the 4320-cell rotated-fiber micro stage
+                assembly = "scatter"
+            else:
+                assembly = "dense" if self.n_reduced <= 512 else "scatter"
         self.assembly = assembly
         if solver == "auto":
-            # Cholesky is exact (parity gates); PCG is the TPU fast path —
-            # batched dense Cholesky/tri-solves are slow on the TPU's MXU,
-            # while the K₀⁻¹-preconditioned block-CG is all matmuls.
-            solver = "pcg" if jnp.dtype(self.dtype) == jnp.float32 else "cholesky"
+            # Scalar f32 → chunk-level block-PCG (the matmul-shaped TPU
+            # fast path, ~1M solves/s).  Block/tensor (elasticity) f32 →
+            # diag-scaled batched Cholesky + one refinement sweep (round 3):
+            # at cell-problem sizes (n_red ≈ 200) the batched factorization
+            # costs the same as a handful of PCG iterations, has NO
+            # iteration-count sensitivity to per-cell rotations or
+            # coefficient contrast (the lockstep chunk PCG pays the worst
+            # cell's count on every cell), never takes the zero-corrector
+            # fallback, and measures MORE accurate (4.9e-7 vs 1.9e-6
+            # against f64 on the rotated stiff-fiber cells).  f64 keeps
+            # the exact Cholesky parity path.
+            if jnp.dtype(self.dtype) != jnp.float32:
+                solver = "cholesky"
+            elif coeff_kind == "scalar" and bs == 1:
+                solver = "pcg"
+            else:
+                solver = "cholesky"
         self.solver = solver
         # PCG strategy by iteration-cost structure:
         #   * scalar coefficients → chunk matrix-free: K is never
@@ -362,17 +391,27 @@ class MicroEngine:
         if self.assembly == "dense" and self.D is None:
             raise ValueError("dense assembly requested but operator too large")
 
-        # generator fields E: (r, s)
+        # generator fields E: (r, s) — the Voigt set for elasticity (the
+        # distinct symmetrized generators; see __init__ on self.s)
         if bs == 1:
             E = np.eye(d)
+            self.sym_expand = None
         else:
-            E = np.zeros((d * d, d * d))
-            for k in range(d):
-                for l in range(d):
-                    Ekl = np.zeros((d, d))
-                    Ekl[k, l] += 0.5
-                    Ekl[l, k] += 0.5
-                    E[:, k * d + l] = Ekl.reshape(-1)
+            pairs = [(k, l) for k in range(d) for l in range(k, d)]
+            E = np.zeros((d * d, len(pairs)))
+            for j, (k, l) in enumerate(pairs):
+                Ekl = np.zeros((d, d))
+                Ekl[k, l] += 0.5
+                Ekl[l, k] += 0.5
+                E[:, j] = Ekl.reshape(-1)
+            # expansion map Voigt column → (k·d+l) full column
+            self.sym_expand = np.asarray(
+                [
+                    pairs.index((min(k, l), max(k, l)))
+                    for k in range(d)
+                    for l in range(d)
+                ]
+            )
         self.E = jnp.asarray(E, dtype=self.dtype)
 
         # nullspace pinning: the bs dofs of reduced vertex 0
@@ -567,7 +606,21 @@ class MicroEngine:
         Phi = self.E[None, :, :] + DX  # (ne, r, s)
         # Astar[n_test, m_trial] = (1/|Y|) Σ_e Φ[:,n]ᵀ Ā_e Φ[:,m]
         Astar = jnp.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / self.volume_Y
-        return Astar, X
+        return self._expand_astar(Astar), self._expand_cols(X)
+
+    def _expand_astar(self, A: jnp.ndarray) -> jnp.ndarray:
+        """Voigt (…, s, s) → full (…, d², d²) tensor layout (exact: the
+        expanded entries are duplicates by minor symmetry)."""
+        if self.sym_expand is None:
+            return A
+        e = jnp.asarray(self.sym_expand)
+        return A[..., e[:, None], e[None, :]]
+
+    def _expand_cols(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Voigt (…, s) correctors → full (…, d²) column layout."""
+        if self.sym_expand is None:
+            return X
+        return X[..., jnp.asarray(self.sym_expand)]
 
     def _get_K0inv(self) -> jnp.ndarray:
         if self._K0inv is None:
@@ -966,10 +1019,10 @@ class MicroEngine:
         else:
             APhi = jnp.einsum("cert,etsc->ersc", Ae_blocks, Phi)
         Astar = jnp.einsum("ernc,ermc->cnm", Phi, APhi) / self.volume_Y
-        out = (Astar,)
+        out = (self._expand_astar(Astar),)
         if with_correctors:
             # (n, s, C) -> (C, n, s): same layout as the per-cell path
-            out = out + (jnp.transpose(X, (2, 0, 1)),)
+            out = out + (self._expand_cols(jnp.transpose(X, (2, 0, 1))),)
         if with_iters:
             # lockstep chunk-PCG iteration count (the whole chunk iterates
             # until its worst column converges) — the diagnostic for tuning
@@ -1087,7 +1140,9 @@ class MicroEngine:
 
         def one(x):
             Ae = self.element_coeff(coeff, x)
-            A0 = jnp.einsum("rn,ert,tm->nm", self.E, Ae, self.E) / self.volume_Y
+            A0 = self._expand_astar(
+                jnp.einsum("rn,ert,tm->nm", self.E, Ae, self.E) / self.volume_Y
+            )
             # within-cell coefficient contrast estimate (ratio of largest to
             # smallest canonical-block diagonal entry over micro elements —
             # diagonals see the soft shear moduli that a trace would mask):
@@ -1181,7 +1236,9 @@ class MicroEngine:
         # the dense-D contraction intermediate Z (nE·r·n_red — dominant for
         # elasticity), and the per-element coefficient blocks
         z_term = (
-            self.nE * self.r * self.n_reduced if self.D is not None else 0
+            self.nE * self.r * self.n_reduced
+            if self.D is not None and self.assembly == "dense"
+            else 0
         )
         per_cell = (
             2 * self.n_reduced * self.n_reduced

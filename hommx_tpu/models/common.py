@@ -18,7 +18,23 @@ __all__ = [
     "strain_coefficients",
     "merge_bcs",
     "MacroSystem",
+    "macro_precs",
 ]
+
+
+def macro_precs(sys, options, f64: bool = False):
+    """(mg, amg) preconditioner structures for the iterative macro path —
+    (None, None) when the solve is certainly direct (or on the f64 direct
+    path) or the options exclude multigrid, so the lazy hierarchy builds
+    never run for solves that cannot use them."""
+    method = options.method
+    if method == "auto":
+        method = (
+            "direct" if sys.V.num_dofs <= options.direct_threshold else "cg"
+        )
+    if f64 or method != "cg" or options.pc not in ("auto", "mg"):
+        return None, None
+    return sys.mg, sys.amg
 
 
 def probe_coeff_kind(coeff: Callable, dim: int, nargs: int = 2) -> str:
@@ -112,6 +128,7 @@ class MacroSystem:
                 self.strain_P64 = strain_coefficients(grads64, V.bs)
                 self.strain_P = self.strain_P64.astype(dtype)  # (nc, nb, d²)
         self._mg = False  # lazily built (False = not yet, None = unavailable)
+        self._amg = False
 
     @property
     def mg(self):
@@ -128,3 +145,18 @@ class MacroSystem:
                 else None
             )
         return self._mg
+
+    @property
+    def amg(self):
+        """Aggregation-AMG hierarchy (ops/amg.py) — the preconditioner for
+        the mesh classes the geometric hierarchy declines (Delaunay/file
+        meshes, P2 layouts).  None when geometric MG is available (it is
+        stronger) or the system is below the bottom size."""
+        if self._amg is False:
+            if self.mg is not None:
+                self._amg = None
+            else:
+                from hommx_tpu.ops.amg import build_amg_structure
+
+                self._amg = build_amg_structure(self.pattern, self.V.bs)
+        return self._amg

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from hommx_tpu.config import default_dtype
-from hommx_tpu.models.common import MacroSystem, merge_bcs, probe_coeff_kind
+from hommx_tpu.models.common import (
+    MacroSystem,
+    macro_precs,
+    merge_bcs,
+    probe_coeff_kind,
+)
 from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_vector
 from hommx_tpu.ops.elements import quad_points_physical
 from hommx_tpu.ops.function_space import (
@@ -149,10 +154,12 @@ def fem_solve(
             vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
 
+    mg, amg = macro_precs(sys, options)
+
     @jax.jit
     def run_solve(vals_bc, b_bc):
         return solve_ell(
-            vals_bc, sys.cols, b_bc, options, dia=sys.dia, mg=sys.mg
+            vals_bc, sys.cols, b_bc, options, dia=sys.dia, mg=mg, amg=amg
         )
 
     vals_bc, b_bc = run_assemble(mask, bvals)
@@ -188,7 +195,10 @@ def fem_solve_fn(
     options = SolverOptions.from_any(options)
     sys = MacroSystem(V, dtype)
     mask, bvals = merge_bcs(bcs, V.num_dofs, dtype)
-    implicit = make_implicit_solver(sys.cols, options, dia=sys.dia, mg=sys.mg)
+    mg, amg = macro_precs(sys, options)
+    implicit = make_implicit_solver(
+        sys.cols, options, dia=sys.dia, mg=mg, amg=amg
+    )
 
     def solve(theta):
         kind = probe_coeff_kind(lambda x: coeff(theta, x), V.mesh.dim, nargs=1)

@@ -33,7 +33,12 @@ import numpy as np
 
 from hommx_tpu.config import default_dtype
 from hommx_tpu.micro.engine import MicroEngine
-from hommx_tpu.models.common import MacroSystem, merge_bcs, probe_coeff_kind
+from hommx_tpu.models.common import (
+    MacroSystem,
+    macro_precs,
+    merge_bcs,
+    probe_coeff_kind,
+)
 from hommx_tpu.models.fem import _as_source
 from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_vector
 from hommx_tpu.ops.function_space import (
@@ -452,7 +457,7 @@ class BaseHMM:
 
     def _macro_solve(self, vals_bc, b_bc):
         sys = self._sys
-        mg = None if self._macro_f64 else sys.mg  # direct path never needs it
+        mg, amg = macro_precs(sys, self._options_global, f64=self._macro_f64)
         if self._use_sharded_macro():
             from hommx_tpu.parallel.macro import make_sharded_solver
 
@@ -461,7 +466,8 @@ class BaseHMM:
             )
             return solver.full(vals_bc, b_bc)
         return solve_ell(
-            vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia, mg=mg
+            vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia,
+            mg=mg, amg=amg,
         )
 
     def build_pipeline(self, shard_mesh=None, shard_mode: str = "auto"):
@@ -577,9 +583,9 @@ class BaseHMM:
         else:
             from hommx_tpu.ops.solvers import make_implicit_solver
 
+            _mg, _amg = macro_precs(sys, options, f64=macro_f64)
             _solve_x = make_implicit_solver(
-                sys.cols, options, dia=sys.dia,
-                mg=None if macro_f64 else sys.mg,
+                sys.cols, options, dia=sys.dia, mg=_mg, amg=_amg
             )
             _implicit_solve = lambda v, b: (_solve_x(v, b), None, None)
         if macro_f64:

@@ -163,10 +163,15 @@ class BasePeriodicHMM:
                 vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
             )
 
+        from hommx_tpu.models.common import macro_precs
+
+        mg, amg = macro_precs(sys, self._options_global)
+
         @jax.jit
         def run_solve(vals_bc, b_bc):
             return solve_ell(
-                vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia
+                vals_bc, sys.cols, b_bc, self._options_global, dia=sys.dia,
+                mg=mg, amg=amg,
             )
 
         vals_bc, b_bc = run_assemble(mask, bvals)

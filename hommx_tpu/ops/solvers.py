@@ -135,7 +135,7 @@ def dense_solve_ell(vals, cols, b):
     return jax.scipy.linalg.cho_solve((c, low), b)
 
 
-def make_implicit_solver(cols, options, dia=None, mg=None):
+def make_implicit_solver(cols, options, dia=None, mg=None, amg=None):
     """Differentiable macro solve via the implicit function theorem.
 
     The iterative paths (CG while_loop) are not reverse-mode
@@ -156,7 +156,9 @@ def make_implicit_solver(cols, options, dia=None, mg=None):
     over.
     """
     return implicit_wrap(
-        lambda vals, b: solve_ell(vals, cols, b, options, dia=dia, mg=mg)[0],
+        lambda vals, b: solve_ell(
+            vals, cols, b, options, dia=dia, mg=mg, amg=amg
+        )[0],
         cols,
     )
 
@@ -186,7 +188,7 @@ def implicit_wrap(solve_fn, cols):
     return solve
 
 
-def solve_ell(vals, cols, b, options, dia=None, mg=None):
+def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
     """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'.
 
     With a DIAPattern (``dia``), the CG matvec runs in diagonal format —
@@ -194,8 +196,10 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None):
     (ops/dia.py) — instead of the gather-based ELL SpMV.  With an
     MGStructure (``mg``, structured meshes) and ``options.pc`` 'auto'/'mg',
     CG is preconditioned by the geometric-multigrid V-cycle
-    (ops/multigrid.py) — the stand-in for the reference's GAMG
-    configurations (``examples/linear_elasticity/rotated_fibers.py:98``).
+    (ops/multigrid.py); unstructured/P2 systems take the aggregation-AMG
+    V-cycle instead when ``amg`` is given (ops/amg.py).  Together these
+    stand in for the reference's GAMG configurations
+    (``examples/linear_elasticity/rotated_fibers.py:98``).
     """
     method = options.method
     if method == "auto":
@@ -203,6 +207,19 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None):
     if method == "direct":
         x = dense_solve_ell(vals, cols, b)
         return x, jnp.array(0), jnp.array(0.0, dtype=b.dtype)
+    if mg is None and amg is not None and options.pc in ("auto", "mg"):
+        from hommx_tpu.ops.amg import amg_setup, amg_vcycle
+
+        matvec = lambda v: spmv(vals, cols, v)
+        state = amg_setup(amg, vals)
+        return pcg_prec(
+            matvec,
+            lambda r: amg_vcycle(amg, state, r),
+            b,
+            atol=options.atol,
+            rtol=options.rtol,
+            maxiter=options.maxiter,
+        )
     if dia is not None:
         from hommx_tpu.ops.dia import dia_spmv, dia_spmv_pallas, ell_vals_to_dia
 
