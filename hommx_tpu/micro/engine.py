@@ -767,11 +767,17 @@ class MicroEngine:
         # dense-K chunk strategy (block/tensor problems): assemble the
         # per-cell reduced operators ONCE (batched scatter of element
         # blocks) and run the chunk PCG with a batched dense matvec — at
-        # s = d² simultaneous RHS and contrast-driven iteration counts the
+        # s simultaneous RHS and contrast-driven iteration counts the
         # n²-per-iteration matvec is far cheaper than matrix-free
         # expand/weight/reduce, while the chunk-level (n, s, C) layout
-        # keeps every elementwise CG op on full vector lanes.
-        densek_chunk = self.pcg_strategy == "densek" and not scalar_sep
+        # keeps every elementwise CG op on full vector lanes.  The
+        # chunk Cholesky route (the f32 elasticity default, round 3)
+        # reuses the same Kc assembly and replaces the Krylov loop with a
+        # batched direct solve (_chol_chunk_solve).
+        chol_chunk = self.solver == "cholesky" and not scalar_sep
+        densek_chunk = (
+            self.pcg_strategy == "densek" or chol_chunk
+        ) and not scalar_sep
         if densek_chunk:
             blocks = jnp.einsum(
                 "erl,cert,etm->celm", self.Draw, A_K, self.Draw
@@ -851,7 +857,7 @@ class MicroEngine:
             AE = jnp.einsum("cert,ts->ersc", A_F, E)
         F = -reduce_(AE) * keep
 
-        fft_prec = self.cell_prec == "fft"
+        fft_prec = self.cell_prec == "fft" and not chol_chunk
         if fft_prec and not scalar_sep:
             # elasticity / tensor coefficients: (bs, bs) Hermitian symbol per
             # frequency from the volume-mean coefficient block (includes the
@@ -950,13 +956,15 @@ class MicroEngine:
                 out = jnp.fft.ifftn(Rh / sym_b, axes=fft_axes).real
                 return out.astype(R.dtype).reshape(n, s, C)
 
-        else:
+        elif not chol_chunk:
             Minv = self._get_K0inv()
 
             def prec(R):
                 return (Minv @ R.reshape(n, s * C)).reshape(n, s, C)
 
-        if self.diag_scale:
+        if chol_chunk:
+            X, iters = self._chol_chunk_solve(Kc, F), jnp.array(0)
+        elif self.diag_scale:
             # Per-dof diagonal for the symmetric scaling.  Scalar problems
             # use a proxy from per-element mean coefficient magnitudes,
             # d[n,c] ≈ Σ_e t[c,e]·Σ_r D[e,r,n]² (exact for unmapped scalar
@@ -1029,6 +1037,45 @@ class MicroEngine:
             # chunk size on heterogeneous problems
             out = out + (iters,)
         return out[0] if len(out) == 1 else out
+
+    def _chol_chunk_solve(self, Kc, F):
+        """Diag-equilibrated batched Cholesky + one refinement sweep on the
+        chunk-assembled operators (the f32 elasticity default, round 3).
+
+        Layouts: Kc (C, n, n) batch-major (XLA's batched Cholesky wants
+        it); F and the returned X keep the chunk path's cell-minor
+        (n, s, C) convention — the transposes are noise next to the n³/3
+        factorization.  Equilibration K_s = S K S with S = √(d₀/d) (same
+        as the PCG diag scaling) plus one f32 refinement sweep give
+        4.9e-7-level tensors on contrast-1e5 rotated-fiber cells — better
+        than the PCG path's 1.9e-6 (benchmarks/elasticity_profile4.py) —
+        with NO iteration-count sensitivity and no zero-corrector
+        fallbacks.  Natively differentiable (cho_factor/cho_solve carry
+        JVP/VJP rules), so this path needs no custom_linear_solve."""
+        n = self.n_reduced
+        C = Kc.shape[0]
+        if self.diag_scale:
+            dp = jnp.einsum("cnn->nc", Kc)
+            self._get_K0inv()  # ensures _K0diag
+            d0p = self._K0diag
+            bad = self.pin_mask[:, None] | (dp <= 0) | ~jnp.isfinite(dp)
+            sc = jnp.where(
+                bad, 1.0, jnp.sqrt(d0p[:, None] / jnp.where(bad, 1.0, dp))
+            ).astype(self.dtype)  # (n, C)
+        else:
+            sc = jnp.ones((n, C), dtype=self.dtype)
+        scm = sc.T  # (C, n)
+        Ks = Kc * scm[:, :, None] * scm[:, None, :]
+        cfac = jax.scipy.linalg.cho_factor(Ks)
+
+        def solve_scaled(B):  # (n, s, C) unscaled rhs → (n, s, C)
+            Bs = jnp.transpose(B * sc[:, None, :], (2, 0, 1))
+            Y = jax.scipy.linalg.cho_solve(cfac, Bs)
+            return jnp.transpose(Y, (1, 2, 0)) * sc[:, None, :]
+
+        X = solve_scaled(F)
+        R = F - jnp.einsum("cnm,msc->nsc", Kc, X)
+        return X + solve_scaled(R)
 
     def _get_fft_symbols(self):
         """DFT symbols of the reduced periodic operator for a basis of
@@ -1186,7 +1233,21 @@ class MicroEngine:
             or self.cell_prec == "fft"
             or (self.coeff_rank > 0 and self.coeff_kind == "scalar")
         )
-        if self.solver == "pcg" and use_chunk and self.D is not None:
+        # f32 block/tensor Cholesky rides the chunk machinery too (round 3):
+        # same Kc assembly as densek, batched direct solve, and — decisive —
+        # the chunk-level CELL-MINOR layout for the RHS and Φ/A* stages.
+        # The per-cell einsum layout ran those as tiny padded per-cell
+        # contractions: measured 115 ms of the 456 ms rotated-fiber micro
+        # stage in the final contraction alone.
+        chol_route = (
+            self.solver == "cholesky"
+            and self.bs > 1
+            and jnp.dtype(self.dtype) == jnp.float32
+            and self.D is not None
+        )
+        if chol_route or (
+            self.solver == "pcg" and use_chunk and self.D is not None
+        ):
             return _map_chunked(
                 lambda cs: self.tensors_chunk_pcg(
                     coeff, cs, G_fn, with_correctors=with_correctors,
@@ -1210,7 +1271,14 @@ class MicroEngine:
         itemsize = jnp.dtype(self.dtype).itemsize
         if jnp.dtype(self.dtype) == jnp.float64:
             itemsize *= 2  # TPU f64 emulation stores float32 pairs
-        chunk_path = self.solver == "pcg" and self.D is not None
+        chol_chunk = (
+            self.solver == "cholesky"
+            and self.bs > 1
+            and jnp.dtype(self.dtype) == jnp.float32
+        )
+        chunk_path = (
+            self.solver == "pcg" or chol_chunk
+        ) and self.D is not None
         if chunk_path:
             # the chunk PCG never materializes K; per-cell state is the
             # gradient-field work arrays (nE·r·s) and the (n, s) Krylov
@@ -1223,11 +1291,17 @@ class MicroEngine:
             per_cell = (
                 16 * self.nE * self.r * self.s + 10 * self.n_reduced * self.s
             ) * itemsize
-            if self.pcg_strategy == "densek" and self.coeff_kind != "scalar":
-                # dense-K chunk strategy materializes the per-cell reduced
-                # operator and the element-block scatter source
+            if (
+                self.pcg_strategy == "densek" or chol_chunk
+            ) and self.coeff_kind != "scalar":
+                # dense-K / chunk-Cholesky strategies materialize the
+                # per-cell reduced operator (plus its equilibrated copy and
+                # factor on the Cholesky route) and the element-block
+                # scatter source
                 per_cell += (
-                    2 * self.n_reduced * self.n_reduced
+                    (4 if chol_chunk else 2)
+                    * self.n_reduced
+                    * self.n_reduced
                     + self.nE * self.nbl * self.nbl
                 ) * itemsize
             budget = 1 << 30
