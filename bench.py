@@ -50,7 +50,9 @@ def main():
     def coeff(x, y):
         return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
 
-    chunk = 4096 if on_tpu else 256
+    # round-3 sweep (fresh-input 5-rep medians): 2048 → 1.06M, 4096 → 1.00M,
+    # 8192 → 0.90M, 16384 → 0.76M solves/s
+    chunk = 2048 if on_tpu else 256
 
     @jax.jit
     def run(c):

@@ -1282,12 +1282,13 @@ class MicroEngine:
         if chunk_path:
             # the chunk PCG never materializes K; per-cell state is the
             # gradient-field work arrays (nE·r·s) and the (n, s) Krylov
-            # vectors (X R P Z KP bX + einsum temporaries).  Capped at 4096:
+            # vectors (X R P Z KP bX + einsum temporaries).  Capped at 2048:
             # chunk-level PCG is lockstep (a chunk iterates until its worst
             # cell converges), and both the lockstep tail isolation on
-            # heterogeneous problems and the measured throughput curve
-            # (1.05M at 4096 vs 0.71M at 16384 on the benchmark config)
-            # favour moderate chunks over maximal ones.
+            # heterogeneous problems and the measured median throughput
+            # curve (round 3, fresh-input 5-rep medians on the benchmark
+            # config: 1.06M at 2048, 1.00M at 4096, 0.90M at 8192, 0.76M
+            # at 16384) favour moderate chunks over maximal ones.
             per_cell = (
                 16 * self.nE * self.r * self.s + 10 * self.n_reduced * self.s
             ) * itemsize
@@ -1305,7 +1306,8 @@ class MicroEngine:
                     + self.nE * self.nbl * self.nbl
                 ) * itemsize
             budget = 1 << 30
-            return int(np.clip(budget // max(per_cell, 1), 1, min(nc, 4096)))
+            cap = 2048 if not chol_chunk else 4096
+            return int(np.clip(budget // max(per_cell, 1), 1, min(nc, cap)))
         # per-cell dense path (cholesky / densek): the assembled K (n_red²),
         # the dense-D contraction intermediate Z (nE·r·n_red — dominant for
         # elasticity), and the per-element coefficient blocks

@@ -87,6 +87,9 @@ def _load():
     lib.hr_locate_cells.restype = ctypes.c_int32
     lib.hr_locate_cells.argtypes = [f64p, ctypes.c_int64, i32p, ctypes.c_int64,
                                     ctypes.c_int32, f64p, ctypes.c_int64, i32p]
+    lib.hr_greedy_aggregate.restype = ctypes.c_int64
+    lib.hr_greedy_aggregate.argtypes = [i64p, i64p, ctypes.c_int64,
+                                        ctypes.c_int64, i64p]
     _lib = lib
     available = True
 
@@ -129,6 +132,21 @@ def periodic_match_native(vertices: np.ndarray, rtol=1e-5, atol=1e-8):
             "micro mesh faces do not match periodically"
         )
     return masters, is_slave.astype(bool)
+
+
+def greedy_aggregate_native(rows_sorted, cols_sorted, n_nodes: int):
+    """Native greedy AMG aggregation (ops/amg.py setup hot path); returns
+    (agg, n_aggregates) or None.  Input COO adjacency must be row-sorted —
+    same contract and identical output as the Python fallback."""
+    if not available:
+        return None
+    rows = np.ascontiguousarray(rows_sorted, dtype=np.int64)
+    cols = np.ascontiguousarray(cols_sorted, dtype=np.int64)
+    agg = np.zeros(n_nodes, dtype=np.int64)
+    na = _lib.hr_greedy_aggregate(rows, cols, rows.shape[0], n_nodes, agg)
+    if na < 0:
+        return None
+    return agg, int(na)
 
 
 def locate_cells_native(vertices, cells, points):

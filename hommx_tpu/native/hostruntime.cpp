@@ -294,4 +294,37 @@ int32_t hr_locate_cells(const double* verts, int64_t nv, const int32_t* cells,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy plain aggregation for the AMG setup (replaces the Python node loop
+// in ops/amg.py::_greedy_aggregate; identical aggregation: every
+// unaggregated node in index order seeds an aggregate of itself + its
+// unaggregated neighbours).  Input: node adjacency as COO sorted by row.
+// Returns the number of aggregates (or -1 on bad input).
+// ---------------------------------------------------------------------------
+
+int64_t hr_greedy_aggregate(const int64_t* rows_sorted,
+                            const int64_t* cols_sorted, int64_t nnz,
+                            int64_t n_nodes, int64_t* agg /* n_nodes, out */) {
+  std::vector<int64_t> starts(n_nodes + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    int64_t r = rows_sorted[e];
+    if (r < 0 || r >= n_nodes) return -1;
+    if (e > 0 && rows_sorted[e - 1] > r) return -1;  // must be sorted
+    starts[r + 1]++;
+  }
+  for (int64_t r = 0; r < n_nodes; ++r) starts[r + 1] += starts[r];
+  for (int64_t v = 0; v < n_nodes; ++v) agg[v] = -1;
+  int64_t na = 0;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    if (agg[i] >= 0) continue;
+    agg[i] = na;
+    for (int64_t e = starts[i]; e < starts[i + 1]; ++e) {
+      int64_t j = cols_sorted[e];
+      if (j >= 0 && j < n_nodes && agg[j] < 0) agg[j] = na;
+    }
+    ++na;
+  }
+  return na;
+}
+
 }  // extern "C"

@@ -94,9 +94,18 @@ def _greedy_aggregate(adj_rows, adj_cols, n_nodes: int):
     """Greedy aggregation: every unaggregated node in turn seeds an
     aggregate of itself + its unaggregated neighbours (the classic plain
     aggregation; every node is covered in one pass).  Input: the node
-    adjacency as COO arrays sorted by row."""
+    adjacency as COO arrays sorted by row.
+
+    The inherently sequential sweep runs in the native C++ host runtime
+    when available (identical output by construction; the Python loop is
+    the fallback and the equivalence gate, tests/test_native.py)."""
     order = np.argsort(adj_rows, kind="stable")
     rows_s, cols_s = adj_rows[order], adj_cols[order]
+    from hommx_tpu import native
+
+    res = native.greedy_aggregate_native(rows_s, cols_s, n_nodes)
+    if res is not None:
+        return res
     starts = np.searchsorted(rows_s, np.arange(n_nodes + 1))
     agg = np.full(n_nodes, -1, dtype=np.int64)
     na = 0

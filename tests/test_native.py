@@ -91,3 +91,40 @@ def test_locate_cells_matches():
         xi = np.linalg.solve(T, p - cp[0])
         lam = np.concatenate([[1 - xi.sum()], xi])
         assert lam.min() > -1e-8
+
+
+@requires_native
+def test_greedy_aggregate_matches_python():
+    """Native greedy aggregation produces the IDENTICAL aggregation as the
+    Python reference sweep (same seed-in-index-order semantics)."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(9)
+    pts = np.concatenate(
+        [np.array([[0, 0], [1, 0], [0, 1], [1, 1.0]]), rng.uniform(0, 1, (200, 2))]
+    )
+    mesh = mesh_from_delaunay(pts, Delaunay(pts).simplices)
+    n = mesh.num_vertices
+    cells = np.asarray(mesh.cells)
+    rows = np.repeat(cells, 3, axis=1).reshape(-1)
+    cols = np.tile(cells, (1, 3)).reshape(-1)
+    order = np.argsort(rows, kind="stable")
+    rows_s, cols_s = rows[order], cols[order]
+
+    out = native.greedy_aggregate_native(rows_s, cols_s, n)
+    assert out is not None
+    agg_n, na_n = out
+
+    starts = np.searchsorted(rows_s, np.arange(n + 1))
+    agg = np.full(n, -1, dtype=np.int64)
+    na = 0
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        agg[i] = na
+        for j in cols_s[starts[i] : starts[i + 1]]:
+            if agg[j] < 0:
+                agg[j] = na
+        na += 1
+    assert na_n == na
+    assert np.array_equal(agg_n, agg)
