@@ -88,6 +88,7 @@ class BaseHMM:
         chunk: int = 0,
         engine_kwargs: Optional[dict] = None,
         shard_mesh=None,
+        dedup_cells: bool = True,
         # reference-compat aliases
         petsc_options_global_solve: Optional[dict] = None,
         petsc_options_cell_problem: Optional[dict] = None,
@@ -116,6 +117,20 @@ class BaseHMM:
                 available.  The TPU-native analogue of the reference's
                 "launch the same code under mpirun" transparency
                 (``hmm.py:544-551``): same class, same call, N devices.
+            dedup_cells: memoize identical cell problems (round 3).  Two
+                macro cells whose solve inputs — the reduced coefficient
+                blocks A(c_T, y_q) and the stratified map Dθᵀ(c_T) — are
+                bitwise equal have the same homogenized tensor; ``solve()``
+                fingerprints the inputs on device, solves one representative
+                per class, and scatters the tensors back.  Structured
+                configurations collapse dramatically (the rotated-fiber
+                beam is 18 distinct cell problems among 4320 cells — the
+                reference re-solves all 51,840 basis systems,
+                ``hmm.py:420-426``), while genuinely x-varying coefficients
+                dedup to nothing and skip the path.  Exact for the direct
+                micro solver; for the lockstep chunk PCG results can move
+                within solver tolerance (chunk composition changes).
+                ``diagnostics["unique_cells"]`` records the class count.
         """
         if msh.dim not in (2, 3):
             raise ValueError("Topology should be 3D or 2D")
@@ -134,6 +149,8 @@ class BaseHMM:
         self._chunk = chunk
         self._quad_degree_rhs = quad_degree_rhs
         self._shard_mesh = shard_mesh
+        self._dedup_cells = bool(dedup_cells)
+        self._n_unique: Optional[int] = None
 
         bs = self._block_size()
         self._V_macro = FunctionSpace(msh, bs)
@@ -224,8 +241,72 @@ class BaseHMM:
                     )
 
                 self._tensor_jit = jax.jit(micro)
-            self._A_star = jax.block_until_ready(self._tensor_jit(self._sys.centers))
+            centers = self._sys.centers
+            classes = self._dedup_classes(centers) if self._dedup_cells else None
+            if classes is not None:
+                rep, inverse = classes
+                A_u = jax.block_until_ready(
+                    self._tensor_jit(centers[jnp.asarray(rep)])
+                )
+                self._A_star = A_u[jnp.asarray(inverse)]
+            else:
+                self._A_star = jax.block_until_ready(self._tensor_jit(centers))
         return self._A_star
+
+    def _dedup_classes(self, centers):
+        """Exact-duplicate classes of the cell batch: (rep_indices,
+        inverse) with ``A_star = A_star_unique[inverse]``, or None when
+        deduplication does not pay (< 2× reduction).
+
+        The class key fingerprints EVERYTHING cell-specific that enters the
+        micro solve — the quadrature-reduced coefficient blocks
+        ``A(c_T, y_q)`` and the stratified map ``Dθᵀ(c_T)`` — via 16 fixed
+        random projections per cell, evaluated on device (a full readback
+        of the raw coefficient data would crawl through the ~10 MB/s
+        device→host tunnel; the fingerprints are a few hundred KB).
+        Bitwise-equal inputs give bitwise-equal fingerprints (same traced
+        program, data-parallel); distinct inputs colliding in all 16 f32
+        projections is negligible for non-adversarial data.
+        """
+        eng = self._engine
+        coeff = self._coeff
+        G_fn = self._G_fn()
+        nc = int(centers.shape[0])
+        if nc < 16:
+            return None
+        k = 16
+        rng = np.random.default_rng(0x5EED)
+
+        def fp(x):
+            raw = eng._raw_coeff(coeff, x).reshape(-1)
+            W = jnp.asarray(
+                rng.standard_normal((raw.shape[0], k)), dtype=raw.dtype
+            )
+            out = raw @ W
+            if G_fn is not None:
+                g = jnp.asarray(G_fn(x), dtype=out.dtype).reshape(-1)
+                Wg = jnp.asarray(
+                    rng.standard_normal((g.shape[0], k)), dtype=out.dtype
+                )
+                out = out + g @ Wg
+            return out
+
+        keys = np.asarray(jax.jit(jax.vmap(fp))(centers))
+        uniq, rep, inverse = np.unique(
+            keys, axis=0, return_index=True, return_inverse=True
+        )
+        n_unique = int(uniq.shape[0])
+        if n_unique * 2 > nc:
+            # not enough duplication to pay for the indirection; every cell
+            # is actually solved, so diagnostics must report the full count
+            self._n_unique = None
+            return None
+        self._n_unique = n_unique
+        logger.info(
+            "micro stage deduplicated: %d cells -> %d unique cell problems",
+            nc, n_unique,
+        )
+        return rep.astype(np.int64), inverse.reshape(-1).astype(np.int64)
 
     def _shard_cells(self, centers):
         """Sharding constraint on the macro-cell batch (no-op without
@@ -404,6 +485,7 @@ class BaseHMM:
             "diverged_cells": diverged_cells,
             "fallback_cells": fallback_cells,
             "num_cells": int(sys.centers.shape[0]),
+            "unique_cells": self._n_unique or int(sys.centers.shape[0]),
         }
         self._u = Function(self._V_macro, x.astype(self._dtype))
         self._u.solver_iterations = iters

@@ -150,3 +150,47 @@ def test_amg_routed_through_solver_api():
     sys_s = MacroSystem(FunctionSpace(m_struct, 1), jnp.float64)
     mg_s, amg_s = macro_precs(sys_s, opts)
     assert mg_s is not None and amg_s is None
+
+
+def test_amg_unstructured_elasticity():
+    """Aggregation AMG on an unstructured 2D VECTOR (elasticity) system:
+    component-wise aggregation + block-row graph; gates correctness vs the
+    direct solve and a strong Jacobi margin (measured 43 vs 804 its)."""
+
+    def hooke2(x):
+        lam, mu = 1.0 + 0.3 * x[0], 0.5
+        eye = jnp.eye(2)
+        return lam * jnp.einsum("ij,kl->ijkl", eye, eye) + mu * (
+            jnp.einsum("ik,jl->ijkl", eye, eye)
+            + jnp.einsum("il,jk->ijkl", eye, eye)
+        )
+
+    mesh = _delaunay_mesh(56)  # 6498 dofs at bs=2
+    V = FunctionSpace(mesh, 2)
+    sys = MacroSystem(V, jnp.float64)
+    vals = fem_assemble_values(sys, hooke2, "tensor4", 2)
+    b = _load_vector(sys, lambda x: -jnp.ones(2) / 2, 2)
+    dofs = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 0.0))
+    mask, bvals = merge_bcs(
+        [dirichletbc(np.zeros(2), dofs, V)], V.num_dofs, jnp.float64
+    )
+    vals_bc, b_bc = apply_dirichlet(
+        vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+    )
+    struct = build_amg_structure(sys.pattern, 2)
+    assert struct is not None
+    state = amg_setup(struct, vals_bc)
+    matvec = lambda v: spmv(vals_bc, jnp.asarray(sys.cols), v)
+    x, it, _ = pcg_prec(
+        matvec, lambda r: amg_vcycle(struct, state, r), b_bc,
+        atol=0.0, rtol=1e-11, maxiter=600,
+    )
+    x_ref = dense_solve_ell(vals_bc, sys.cols, b_bc)
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    assert float(jnp.max(jnp.abs(x - x_ref))) < 1e-9 * scale
+    assert int(it) <= 60
+    _, it_j, _ = cg_matfree(
+        matvec, _ell_diag(vals_bc, sys.cols), b_bc,
+        atol=0.0, rtol=1e-11, maxiter=20000,
+    )
+    assert int(it) * 5 < int(it_j)

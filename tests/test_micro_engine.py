@@ -364,3 +364,69 @@ def test_correctors_chunk_fast_path_matches_cholesky():
     assert X_f.shape == X_ex.shape
     assert np.abs(np.asarray(A_f) - np.asarray(A_ex)).max() < 1e-9
     assert np.abs(np.asarray(X_f) - np.asarray(X_ex)).max() < 1e-8
+
+
+def test_cell_problem_deduplication():
+    """Round 3: solve() memoizes identical cell problems — the rotated-fiber
+    style config collapses to the distinct rotation angles (the reference
+    re-solves every one, ``hmm.py:420-426``), results match the full solve
+    to solver accuracy, and genuinely x-varying coefficients do not dedup."""
+    import hommx_tpu as hx
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    def circle(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < (2 * jnp.pi) ** 2 / 16
+
+    A_el = hooke_tensor(
+        3, lambda x, y: jnp.where(circle(y[1], y[2]), 100.0, 0.001),
+        lambda x, y: 1.0,
+    )
+    W = 0.4
+
+    def Dt3(x):
+        g = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    macro = hx.create_box([[0, 0, 0], [1.0, W, 0.1]], [10, 3, 3])
+    micro = hx.create_unit_cube(3)
+    f = lambda x: jnp.array([0.0, 0.0, -0.008])
+
+    def run(dedup):
+        h = hx.LinearElasticityStratifiedHMM(
+            macro, A_el, f, micro, 2**-5, Dt3, dedup_cells=dedup
+        )
+        h.set_boundary_conditions(
+            hx.dirichletbc(
+                np.zeros(3),
+                boundary_dofs(h.function_space, lambda x: np.isclose(x[0], 0)),
+                h.function_space,
+            )
+        )
+        return h.solve(), h
+
+    u1, h1 = run(True)
+    u0, h0 = run(False)
+    assert h1.diagnostics["unique_cells"] == 9  # 3 barycenter x2 per layer x 3
+    assert h0.diagnostics["unique_cells"] == h0.diagnostics["num_cells"]
+    rel = float(jnp.max(jnp.abs(u1.array - u0.array))) / float(
+        jnp.max(jnp.abs(u0.array))
+    )
+    # identical per-cell inputs; bit-level differences come only from XLA
+    # fusing differently at different batch shapes
+    assert rel < 1e-9, rel
+
+    # continuously x-varying coefficient (both macro coordinates, so every
+    # cell barycenter gives a distinct problem): dedup finds nothing and
+    # declines the indirection
+    macro2 = create_unit_square(12, 12)
+    h2 = hx.PoissonHMM(
+        macro2,
+        lambda x, y: 1.1 + x[0] + 0.37 * x[1] + jnp.sin(2 * jnp.pi * y[0]),
+        lambda x: 1.0, create_unit_square(8, 8), 2**-4,
+    )
+    h2.solve()
+    assert h2.diagnostics["unique_cells"] == h2.diagnostics["num_cells"]
