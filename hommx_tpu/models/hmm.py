@@ -151,6 +151,7 @@ class BaseHMM:
         self._shard_mesh = shard_mesh
         self._dedup_cells = bool(dedup_cells)
         self._n_unique: Optional[int] = None
+        self._fp_jit = None
 
         bs = self._block_size()
         self._V_macro = FunctionSpace(msh, bs)
@@ -267,31 +268,37 @@ class BaseHMM:
         Bitwise-equal inputs give bitwise-equal fingerprints (same traced
         program, data-parallel); distinct inputs colliding in all 16 f32
         projections is negligible for non-adversarial data.
+
+        The jitted fingerprint program is cached on the instance: rebuilding
+        it per solve re-traces the full coefficient evaluation (~0.4 s on
+        the rotated-fiber beam — larger than the deduplicated solve itself).
         """
-        eng = self._engine
-        coeff = self._coeff
-        G_fn = self._G_fn()
         nc = int(centers.shape[0])
         if nc < 16:
             return None
-        k = 16
-        rng = np.random.default_rng(0x5EED)
+        if self._fp_jit is None:
+            eng = self._engine
+            coeff = self._coeff
+            G_fn = self._G_fn()
+            k = 16
+            rng = np.random.default_rng(0x5EED)
 
-        def fp(x):
-            raw = eng._raw_coeff(coeff, x).reshape(-1)
-            W = jnp.asarray(
-                rng.standard_normal((raw.shape[0], k)), dtype=raw.dtype
-            )
-            out = raw @ W
-            if G_fn is not None:
-                g = jnp.asarray(G_fn(x), dtype=out.dtype).reshape(-1)
-                Wg = jnp.asarray(
-                    rng.standard_normal((g.shape[0], k)), dtype=out.dtype
+            def fp(x):
+                raw = eng._raw_coeff(coeff, x).reshape(-1)
+                W = jnp.asarray(
+                    rng.standard_normal((raw.shape[0], k)), dtype=raw.dtype
                 )
-                out = out + g @ Wg
-            return out
+                out = raw @ W
+                if G_fn is not None:
+                    g = jnp.asarray(G_fn(x), dtype=out.dtype).reshape(-1)
+                    Wg = jnp.asarray(
+                        rng.standard_normal((g.shape[0], k)), dtype=out.dtype
+                    )
+                    out = out + g @ Wg
+                return out
 
-        keys = np.asarray(jax.jit(jax.vmap(fp))(centers))
+            self._fp_jit = jax.jit(jax.vmap(fp))
+        keys = np.asarray(self._fp_jit(centers))
         uniq, rep, inverse = np.unique(
             keys, axis=0, return_index=True, return_inverse=True
         )
