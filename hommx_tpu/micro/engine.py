@@ -121,6 +121,7 @@ class MicroEngine:
         micro_degree: int = 1,
         coeff_rank: int = 0,
         cell_prec: str = "k0inv",
+        chol_backend: str = "auto",
     ):
         self.mesh = micro_mesh
         self.bs = int(bs)
@@ -253,6 +254,15 @@ class MicroEngine:
         ):
             matmul_precision = "highest"
         self.matmul_precision = matmul_precision
+        # Chunk-Cholesky factorization backend (see ops/batched_chol.py):
+        # XLA's batched cho_factor/cho_solve is latency-bound on TPU
+        # (~57 GFLOP/s on the rotated-fiber batch); the hand-blocked
+        # factorization keeps the heavy work in batch-major matmuls — 4×
+        # on the same batch at identical tolerance.  'auto' uses it on the
+        # TPU f32 path and keeps LAPACK-backed cho_factor elsewhere.
+        if chol_backend not in ("auto", "xla", "blocked"):
+            raise ValueError("chol_backend must be 'auto'|'xla'|'blocked'")
+        self.chol_backend = chol_backend
         # Low-rank coefficient structure (opt-in, scalar coefficients only):
         # when A(x, y) = Σ_k f_k(x) g_k(y) with ≤ coeff_rank terms, the
         # per-element reduction a(c, e) has rank ≤ coeff_rank over the cell
@@ -1066,11 +1076,48 @@ class MicroEngine:
             sc = jnp.ones((n, C), dtype=self.dtype)
         scm = sc.T  # (C, n)
         Ks = Kc * scm[:, :, None] * scm[:, None, :]
-        cfac = jax.scipy.linalg.cho_factor(Ks)
+        use_blocked = self.chol_backend == "blocked" or (
+            self.chol_backend == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+            and jnp.dtype(self.dtype) == jnp.float32
+        )
+        if use_blocked:
+            # hand-blocked batched factorization (ops/batched_chol.py):
+            # 4× over XLA's cho_factor/cho_solve on the rotated-fiber
+            # batch — the panel solve and Schur update stay batch-major
+            # MXU matmuls instead of latency-bound substitution sweeps
+            from hommx_tpu.ops.batched_chol import (
+                _pad_spd,
+                blocked_cho_solve,
+                blocked_cholesky,
+            )
+
+            nb = 32
+            Ksp, _, n_orig = _pad_spd(Ks, Ks[:, :, :1], nb)
+            panels, dinvs = blocked_cholesky(Ksp, nb)
+            n_pad = Ksp.shape[1]
+
+            def cho_solve_batch(Bs):  # (C, n, s)
+                if n_pad != n_orig:
+                    Bs = jnp.concatenate(
+                        [
+                            Bs,
+                            jnp.zeros(
+                                (C, n_pad - n_orig, Bs.shape[2]), Bs.dtype
+                            ),
+                        ],
+                        axis=1,
+                    )
+                Y = blocked_cho_solve(panels, dinvs, Bs, nb)
+                return Y[:, :n_orig, :]
+
+        else:
+            cfac = jax.scipy.linalg.cho_factor(Ks)
+            cho_solve_batch = lambda Bs: jax.scipy.linalg.cho_solve(cfac, Bs)
 
         def solve_scaled(B):  # (n, s, C) unscaled rhs → (n, s, C)
             Bs = jnp.transpose(B * sc[:, None, :], (2, 0, 1))
-            Y = jax.scipy.linalg.cho_solve(cfac, Bs)
+            Y = cho_solve_batch(Bs)
             return jnp.transpose(Y, (1, 2, 0)) * sc[:, None, :]
 
         X = solve_scaled(F)
@@ -1305,9 +1352,27 @@ class MicroEngine:
                     * self.n_reduced
                     + self.nE * self.nbl * self.nbl
                 ) * itemsize
-            budget = 1 << 30
+            # The chunk-Cholesky route wants LARGE chunks: with the blocked
+            # factorization the heavy work is batch-major matmuls whose MXU
+            # utilization grows with the batch (rotated-fiber beam, blocked
+            # backend: 307 ms at chunk 491, 178 ms at 1024, 163 ms at 2160,
+            # 173 ms at 4320) — so it gets a 4 GB budget (HBM is 16 GB on
+            # v5e; the estimate stays conservative for large micro meshes).
+            # The lockstep PCG keeps the 1 GB / 2048 cap: its chunk curve
+            # favours moderate chunks (see above).
+            budget = (4 << 30) if chol_chunk else (1 << 30)
             cap = 2048 if not chol_chunk else 4096
-            return int(np.clip(budget // max(per_cell, 1), 1, min(nc, cap)))
+            limit = int(np.clip(budget // max(per_cell, 1), 1, min(nc, cap)))
+            if nc > limit:
+                # equalize: _map_chunked pads the batch to a chunk multiple,
+                # so a chunk size just under nc/k wastes up to a full
+                # chunk of duplicated cells (measured 399 ms at chunk 1966
+                # vs 159 ms at 2160 on the 4320-cell rotated-fiber batch —
+                # 3 chunks with 1578 padded cells vs 2 exact ones).  Using
+                # ceil(nc / ceil(nc / limit)) keeps chunks equal-sized
+                # within the memory budget with at most k-1 padded cells.
+                limit = int(np.ceil(nc / np.ceil(nc / limit)))
+            return limit
         # per-cell dense path (cholesky / densek): the assembled K (n_red²),
         # the dense-D contraction intermediate Z (nE·r·n_red — dominant for
         # elasticity), and the per-element coefficient blocks
