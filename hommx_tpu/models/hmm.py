@@ -190,6 +190,8 @@ class BaseHMM:
         self._macro_jit = None
         self._tensor_jit = None
         self._a0_jit = None
+        self._nan_jit = None
+        self._b_load = None
         #: per-solve telemetry: phase timings, solver iterations/residual,
         #: NaN guard results (SURVEY.md §5: the reference's failure detection
         #: is a NaN check per local matrix, hmm.py:320-323, and KSP
@@ -222,7 +224,10 @@ class BaseHMM:
         reference quirk noted in SURVEY §2.5, ``f`` receives a real point x).
         """
         self._f_fn = _as_source(f, self._V_macro.bs)
-        self._macro_jit = None  # f is traced into the macro pipeline
+        # the load vector is cached across solves (f and the mesh are
+        # static); only the cache is invalidated — the jitted assembly
+        # program takes b as an argument, so no recompile on rhs sweeps
+        self._b_load = None
 
     def homogenized_tensors(self) -> jnp.ndarray:
         """A*(c_T) per macro cell, (nc, s, s) — the micro stage output.
@@ -386,9 +391,13 @@ class BaseHMM:
         t_micro = time.perf_counter() - t0
 
         # NaN guard on the micro-stage output (reference hmm.py:320-323
-        # logs and continues; we do the same, naming the offending cells)
-        A_np = np.asarray(A_star)
-        nan_cells = np.nonzero(np.isnan(A_np).any(axis=(1, 2)))[0]
+        # logs and continues; we do the same, naming the offending cells).
+        # Computed ON DEVICE: reading A* back for a host-side check costs
+        # ~70-120 ms on the beam through the ~10-15 MB/s axon readback
+        # tunnel; the per-cell bool mask is a few KB.
+        if self._nan_jit is None:
+            self._nan_jit = jax.jit(lambda a: jnp.isnan(a).any(axis=(1, 2)))
+        nan_cells = np.nonzero(np.asarray(self._nan_jit(A_star)))[0]
         if nan_cells.size:
             logger.error(
                 "Something went wrong when calculating the homogenized tensor "
@@ -401,18 +410,32 @@ class BaseHMM:
         diverged_cells = np.array([], dtype=np.int64)
         if self._engine.solver == "pcg":
             if self._a0_jit is None:
-                self._a0_jit = jax.jit(
-                    lambda c: self._engine.nocorrector_tensors(
+                # the full guard runs on device (one dispatch, bool-mask
+                # readback) — the previous host-side version read back the
+                # (nc, s, s) zero-corrector tensor batch every solve
+                def _guard(A_star, c):
+                    A0, contrast = self._engine.nocorrector_tensors(
                         self._coeff, c, G_fn=self._G_fn()
                     )
-                )
-            A0_dev, contrast_dev = self._a0_jit(sys.centers)
-            A0 = np.asarray(A0_dev)
-            contrast = float(np.max(np.asarray(contrast_dev)))
-            d_star = np.einsum("cii->ci", A_np)
-            d_zero = np.einsum("cii->ci", A0)
-            diverged = (d_star > 1.05 * d_zero + 1e-9).any(axis=1)
-            diverged_cells = np.nonzero(diverged)[0]
+                    d_star = jnp.einsum("cii->ci", A_star)
+                    d_zero = jnp.einsum("cii->ci", A0)
+                    diverged = (d_star > 1.05 * d_zero + 1e-9).any(axis=1)
+                    tiny = jnp.asarray(
+                        jnp.finfo(d_zero.dtype).tiny, d_zero.dtype
+                    )
+                    ratio = d_star / jnp.maximum(d_zero, tiny)
+                    med = jnp.median(ratio, axis=0)
+                    fallback = ((ratio > 0.999) & (med[None, :] < 0.95)).any(
+                        axis=1
+                    )
+                    return diverged, fallback, jnp.max(contrast)
+
+                self._a0_jit = jax.jit(_guard)
+            diverged_m, fallback_m, contrast_dev = self._a0_jit(
+                A_star, sys.centers
+            )
+            contrast = float(contrast_dev)
+            diverged_cells = np.nonzero(np.asarray(diverged_m))[0]
             if diverged_cells.size:
                 logger.error(
                     "Cell-problem solve diverged on %d cells (homogenized "
@@ -438,11 +461,8 @@ class BaseHMM:
             # but stiffer than exact).  A cell is flagged when one of its
             # generators sits at the zero-corrector bound while the median
             # cell's corrector visibly lowers that generator's energy.
-            tiny = np.finfo(np.float64).tiny
-            ratio = d_star / np.maximum(d_zero, tiny)  # (nc, s)
-            med = np.median(ratio, axis=0)
-            fallback = ((ratio > 0.999) & (med[None, :] < 0.95)).any(axis=1)
-            fallback_cells = np.nonzero(fallback)[0]
+            # (mask computed in _guard above, on device)
+            fallback_cells = np.nonzero(np.asarray(fallback_m))[0]
             if fallback_cells.size:
                 logger.warning(
                     "%d cells returned the zero-corrector fallback tensor "
@@ -463,17 +483,46 @@ class BaseHMM:
         # whole point of the f64 direct path is κ~1e7 robustness)
         bc_dtype = jnp.float64 if self._macro_f64 else self._dtype
         mask, bvals = merge_bcs(self._bcs, self._V_macro.num_dofs, bc_dtype)
-        if self._macro_jit is None:
-            # Two stages: composing scatter-assembly with the CG while-loop
-            # in one XLA module compiles pathologically slowly on TPU.
-            self._macro_jit = (
-                jax.jit(self._macro_assemble),
-                jax.jit(self._macro_solve),
+        if self._b_load is None:
+            verts = sys.verts64 if self._macro_f64 else sys.verts
+            self._b_load = jax.block_until_ready(
+                jax.jit(
+                    lambda v, c: assemble_load_vector(
+                        v,
+                        c,
+                        self._f_fn,
+                        bs=self._V_macro.bs,
+                        degree=self._quad_degree_rhs,
+                    )
+                )(verts, sys.cells)
             )
+        if self._macro_jit is None:
+            # Two stages on the CG path: composing scatter-assembly with the
+            # CG while-loop in one XLA module compiles pathologically slowly
+            # on TPU.  The direct path has no while_loop, so its whole macro
+            # stage (assemble + mixed-precision direct solve) fuses into ONE
+            # program — each separate jitted call costs ~25-30 ms fixed
+            # dispatch latency through the axon tunnel.
+            if self._macro_f64:
+
+                def _fused(A_star, mask, bvals, b):
+                    vals_bc, b_bc = self._macro_assemble(A_star, mask, bvals, b)
+                    x, it, r = self._macro_solve(vals_bc, b_bc)
+                    return vals_bc, x, it, r
+
+                self._macro_jit = (jax.jit(_fused), None)
+            else:
+                self._macro_jit = (
+                    jax.jit(self._macro_assemble),
+                    jax.jit(self._macro_solve),
+                )
         asm, slv = self._macro_jit
         t0 = time.perf_counter()
-        vals_bc, b_bc = asm(A_star, mask, bvals)
-        x, iters, res = slv(vals_bc, b_bc)
+        if slv is None:
+            vals_bc, x, iters, res = asm(A_star, mask, bvals, self._b_load)
+        else:
+            vals_bc, b_bc = asm(A_star, mask, bvals, self._b_load)
+            x, iters, res = slv(vals_bc, b_bc)
         iters, res = int(iters), float(res)
         t_macro = time.perf_counter() - t0
         if iters >= self._options_global.maxiter:
@@ -499,20 +548,21 @@ class BaseHMM:
         self._u.solver_residual = res
         return self._u
 
-    def _macro_assemble(self, A_star, mask, bvals):
+    def _macro_assemble(self, A_star, mask, bvals, b):
         """Pure macro assembly: A* batch → BC-applied system.
 
         On the direct-solve path the whole assembly runs in f64 with the f64
-        geometry shadows (see __init__ on _macro_f64)."""
+        geometry shadows (see __init__ on _macro_f64).  ``b`` is the
+        pre-assembled load vector (cached across solves — f and the mesh
+        are static; see ``set_right_hand_side``)."""
         sys = self._sys
         if self._macro_f64:
             vols, grads = sys.vols64, sys.grads64
             strain_P = getattr(sys, "strain_P64", None)
-            verts = sys.verts64
             A_T = jnp.swapaxes(A_star, -1, -2).astype(jnp.float64)
             bvals = bvals.astype(jnp.float64)
         else:
-            vols, grads, verts = sys.vols, sys.grads, sys.verts
+            vols, grads = sys.vols, sys.grads
             strain_P = getattr(sys, "strain_P", None)
             A_T = jnp.swapaxes(A_star, -1, -2)  # reference index order
         if self._V_macro.bs == 1:
@@ -522,13 +572,6 @@ class BaseHMM:
                 "c,cmr,crt,cnt->cmn", vols, strain_P, A_T, strain_P
             )
         vals = assemble_ell(sys.pattern, S_loc, sys.slots)
-        b = assemble_load_vector(
-            verts,
-            sys.cells,
-            self._f_fn,
-            bs=self._V_macro.bs,
-            degree=self._quad_degree_rhs,
-        )
         return apply_dirichlet(
             vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
