@@ -23,7 +23,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["blocked_cholesky", "blocked_cho_solve", "blocked_solve_spd"]
+__all__ = [
+    "blocked_cholesky",
+    "blocked_cho_solve",
+    "blocked_solve_spd",
+    "scan_blocked_cholesky",
+    "scan_blocked_solve",
+]
 
 
 def _pad_spd(K, B, nb):
@@ -135,3 +141,113 @@ def blocked_solve_spd(K, B, nb=32):
     panels, dinvs = blocked_cholesky(Kp, nb)
     X = blocked_cho_solve(panels, dinvs, Bp, nb)
     return X[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Single large matrix: fixed-shape scan-blocked factorization
+#
+# The batched kernels above unroll the panel loop in Python, which is fine
+# for many small cell systems (n ≈ 200, 6 panels) but would compile ~100
+# unrolled panels for one macro-sized matrix (n ≈ 3-4k).  Here the panel
+# loop is a lax.scan with FIXED shapes instead: the carry is the full
+# working matrix, each step consumes one (n, nb) column panel located by
+# dynamic_slice, and the Schur update is a full-width rank-nb matmul with
+# the already-factored rows masked to zero.  The update does ~3× the
+# minimal flops (n²·nb per panel instead of the shrinking trailing block),
+# but every flop is an MXU matmul — on TPU that beats XLA's CholeskyExpander,
+# whose per-panel unblocked recursions and triangular solves are
+# latency-bound.  Used by ops/solvers.py::_mixed_refine_ell as the
+# 'scan' factorization backend for the f32 macro factorization.
+# ---------------------------------------------------------------------------
+
+
+def _factor_block_inv(D, dtype_eps=1e-30):
+    """Unblocked Cholesky L and explicit inverse L⁻¹ of one SPD (nb, nb)
+    block; nb static, both recursions unrolled (nb rank-1 update steps +
+    nb substitution rows, each a vector op)."""
+    nb = D.shape[0]
+    cols = []
+    for j in range(nb):
+        piv = jnp.sqrt(jnp.maximum(D[j, j], dtype_eps))
+        col = D[:, j] / piv
+        col = col.at[:j].set(0.0)
+        cols.append(col)
+        D = D - col[:, None] * col[None, :]
+    L = jnp.stack(cols, axis=-1)
+    eye = jnp.eye(nb, dtype=L.dtype)
+    rows = []
+    for i in range(nb):
+        r = eye[i]
+        if i:
+            r = r - L[i, :i] @ jnp.stack(rows)
+        rows.append(r / L[i, i])
+    Linv = jnp.stack(rows, axis=0)
+    return L, Linv
+
+
+def scan_blocked_cholesky(A, nb=64):
+    """Lower-Cholesky of one SPD ``A`` (n, n) as a fixed-shape lax.scan.
+
+    ``n % nb == 0`` (pad with decoupled identity rows upstream).  Returns
+    ``(panels, dinvs)``: panels (npan, n, nb) holds the column panels of L
+    (rows above each panel's diagonal block zeroed), dinvs (npan, nb, nb)
+    the inverted diagonal blocks — the same layout the batched kernels
+    use, applied by :func:`scan_blocked_solve` as matmuls instead of
+    latency-bound substitution sweeps."""
+    n = A.shape[0]
+    assert n % nb == 0, "pad the system first"
+    npan = n // nb
+    idx = jnp.arange(n)
+
+    def step(W, p):
+        j = p * nb
+        C = jax.lax.dynamic_slice(W, (0, j), (n, nb))
+        D = jax.lax.dynamic_slice(W, (j, j), (nb, nb))
+        _, Linv = _factor_block_inv(D)
+        Lcol = C @ Linv.T  # rows [j, j+nb) give D·L⁻ᵀ = L_pp exactly
+        Lcol = jnp.where(idx[:, None] >= j, Lcol, jnp.zeros_like(Lcol))
+        W = W - Lcol @ Lcol.T
+        return W, (Lcol, Linv)
+
+    _, (panels, dinvs) = jax.lax.scan(step, A, jnp.arange(npan))
+    return panels, dinvs
+
+
+def scan_blocked_solve(panels, dinvs, B):
+    """Solve ``L Lᵀ X = B`` (B (n, s)) from :func:`scan_blocked_cholesky`.
+
+    Both substitution phases are scans whose per-step work is one (nb, s)
+    diagonal-inverse matmul plus one full-width accumulator matmul; the
+    backward phase reads row-slices across the stacked panels (the
+    transposed blocks) with one dynamic_slice."""
+    npan, n, nb = panels.shape
+    s = B.shape[1]
+
+    def fwd(ACC, inp):
+        panel, dinv, p = inp
+        j = p * nb
+        rhs = jax.lax.dynamic_slice(ACC, (j, 0), (nb, s))
+        y = dinv @ rhs
+        # rows [j, j+nb) zero out; rows below accumulate the L21·y term
+        ACC = ACC - panel @ y
+        return ACC, y
+
+    _, ys = jax.lax.scan(fwd, B, (panels, dinvs, jnp.arange(npan)))
+    Y = ys.reshape(n, s)
+
+    def bwd(ACC, inp):
+        dinv, p = inp
+        j = p * nb
+        rhs = jax.lax.dynamic_slice(ACC, (j, 0), (nb, s))
+        x = dinv.T @ rhs
+        # subtract (L[p, q])ᵀ x from every earlier block q < p: the row
+        # slice panels[:, j:j+nb, :] is L[p, q] for all q (zero for q > p)
+        rows_p = jax.lax.dynamic_slice(panels, (0, j, 0), (npan, nb, nb))
+        contrib = jnp.einsum("qij,is->qjs", rows_p, x).reshape(n, s)
+        ACC = ACC - contrib
+        return ACC, x
+
+    _, xs = jax.lax.scan(
+        bwd, Y, (dinvs, jnp.arange(npan)), reverse=True
+    )
+    return xs.reshape(n, s)

@@ -92,7 +92,7 @@ def _dense_solve_f64(A, b64):
     return jax.scipy.linalg.cho_solve((c, low), b64)
 
 
-def _mixed_refine_ell(vals, cols, b, max_sweeps=200):
+def _mixed_refine_ell(vals, cols, b, max_sweeps=200, factor_backend=None):
     """f64-accurate SPD solve by f32 factorization + f64 PCG refinement.
 
     The TPU has no native f64 Cholesky (emulation is ~4× slower than this
@@ -126,7 +126,18 @@ def _mixed_refine_ell(vals, cols, b, max_sweeps=200):
 
     Backend-agnostic by construction (plain jnp) so CPU tests can verify
     the exact program the TPU runs.
+
+    ``factor_backend`` selects how the f32 factorization runs: ``"xla"``
+    (cho_factor + explicit inverse via one multi-RHS triangular solve) or
+    ``"scan"`` (the fixed-shape scan-blocked factorization of
+    ops/batched_chol.py, correction applied by blocked substitution
+    matmuls — no n² inverse).  Default from ``HOMMX_MACRO_FACTOR``
+    (trace-time), falling back to ``"xla"``.
     """
+    if factor_backend is None:
+        import os
+
+        factor_backend = os.environ.get("HOMMX_MACRO_FACTOR", "xla")
     vals64 = vals.astype(jnp.float64)
     b64 = b.astype(jnp.float64)
     A32 = ell_to_dense(vals.astype(jnp.float32), cols)
@@ -137,16 +148,44 @@ def _mixed_refine_ell(vals, cols, b, max_sweeps=200):
     As = sc32[:, None] * A32 * sc32[None, :]
     gersh = jnp.max(jnp.sum(jnp.abs(As), axis=1))
     As = As + (4e-6 * gersh) * jnp.eye(As.shape[0], dtype=As.dtype)
-    c32 = jax.scipy.linalg.cho_factor(As)
     n = b.shape[0]
-    Minv = jax.scipy.linalg.cho_solve(c32, jnp.eye(n, dtype=jnp.float32))
-    Minv = 0.5 * (Minv + Minv.T)  # PCG needs an SPD preconditioner
-    tol = 1e-13 * jnp.linalg.norm(b64)
-
-    def prec(r):
-        return sc64 * (Minv @ (sc64 * r).astype(jnp.float32)).astype(
-            jnp.float64
+    if factor_backend == "scan":
+        from hommx_tpu.ops.batched_chol import (
+            scan_blocked_cholesky,
+            scan_blocked_solve,
         )
+
+        nb = 64
+        n_pad = (-n) % nb
+        if n_pad:
+            Ap = jnp.eye(n + n_pad, dtype=As.dtype)
+            Ap = Ap.at[:n, :n].set(As)
+        else:
+            Ap = As
+        panels, dinvs = scan_blocked_cholesky(Ap, nb=nb)
+
+        def prec(r):
+            r32 = (sc64 * r).astype(jnp.float32)
+            if n_pad:
+                r32 = jnp.concatenate(
+                    [r32, jnp.zeros((n_pad,), jnp.float32)]
+                )
+            z = scan_blocked_solve(panels, dinvs, r32[:, None])[:n, 0]
+            return sc64 * z.astype(jnp.float64)
+
+    else:
+        c32 = jax.scipy.linalg.cho_factor(As)
+        Minv = jax.scipy.linalg.cho_solve(
+            c32, jnp.eye(n, dtype=jnp.float32)
+        )
+        Minv = 0.5 * (Minv + Minv.T)  # PCG needs an SPD preconditioner
+
+        def prec(r):
+            return sc64 * (Minv @ (sc64 * r).astype(jnp.float32)).astype(
+                jnp.float64
+            )
+
+    tol = 1e-13 * jnp.linalg.norm(b64)
 
     matvec = lambda v: spmv(vals64, cols, v)
     r0 = b64

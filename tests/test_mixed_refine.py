@@ -96,3 +96,25 @@ def test_mixed_refine_early_exit_is_safe():
     # zero RHS must return exactly zero, not NaN
     x0 = _mixed_refine_ell(vals_bc, sys.cols, jnp.zeros_like(b_bc))
     assert float(jnp.max(jnp.abs(x0))) == 0.0
+
+
+def test_mixed_refine_scan_backend_matches_xla():
+    """The 'scan' factorization backend (fixed-shape blocked Cholesky +
+    blocked substitution, ops/batched_chol.py) solves to the same f64
+    level as the 'xla' backend, including on the ill-conditioned beam
+    (where its padded identity rows and Gershgorin shift both engage)."""
+    mesh = create_unit_square(16, 16)
+    sys, vals_bc, b_bc = _system(
+        mesh, 1, lambda x: 1.0 + 0.5 * jnp.sin(3 * x[0]) * x[1], "scalar"
+    )
+    x_x = _mixed_refine_ell(vals_bc, sys.cols, b_bc, factor_backend="xla")
+    x_s = _mixed_refine_ell(vals_bc, sys.cols, b_bc, factor_backend="scan")
+    scale = float(jnp.max(jnp.abs(x_x)))
+    assert float(jnp.max(jnp.abs(x_s - x_x))) < 1e-11 * scale
+
+    mesh = create_box([[0, 0, 0], [1, 0.4, 0.1]], [8, 4, 4])
+    sys, vals_bc, b_bc = _system(mesh, 3, _hooke(3, 1e4), "tensor4")
+    x64 = dense_solve_ell(vals_bc, sys.cols, b_bc)
+    x_s = _mixed_refine_ell(vals_bc, sys.cols, b_bc, factor_backend="scan")
+    scale = float(jnp.max(jnp.abs(x64)))
+    assert float(jnp.max(jnp.abs(x_s - x64))) < 1e-6 * scale
