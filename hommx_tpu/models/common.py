@@ -129,6 +129,28 @@ class MacroSystem:
                 self.strain_P = self.strain_P64.astype(dtype)  # (nc, nb, d²)
         self._mg = False  # lazily built (False = not yet, None = unavailable)
         self._amg = False
+        self._gather_asm = False
+
+    @property
+    def gather_asm(self):
+        """Gather-formulation contributor table for the macro assembly
+        (ops/assembly.py::build_gather_assembly), built lazily on TPU
+        backends only: the scatter-add serializes there (and pays the
+        emulated-f64 penalty per colliding add), while on CPU the scatter
+        is fine and the table would be wasted memory.  None when
+        unavailable (CPU, or pathological multiplicity)."""
+        if self._gather_asm is False:
+            import jax as _jax
+
+            from hommx_tpu.config import host_setup
+            from hommx_tpu.ops.assembly import build_gather_assembly
+
+            if _jax.default_backend() in ("tpu", "axon"):
+                with host_setup():
+                    self._gather_asm = build_gather_assembly(self.pattern)
+            else:
+                self._gather_asm = None
+        return self._gather_asm
 
     @property
     def mg(self):

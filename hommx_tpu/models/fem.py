@@ -118,7 +118,7 @@ def _load_vector(sys: MacroSystem, f_fn: Callable, degree: int):
 
 def fem_assemble_values(sys: MacroSystem, coeff: Callable, kind: str, degree: int):
     S_loc = _local_matrices(sys, coeff, kind, degree)
-    return assemble_ell(sys.pattern, S_loc, sys.slots)
+    return assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
 
 
 def fem_solve(

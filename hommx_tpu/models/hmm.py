@@ -571,7 +571,7 @@ class BaseHMM:
             S_loc = jnp.einsum(
                 "c,cmr,crt,cnt->cmn", vols, strain_P, A_T, strain_P
             )
-        vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+        vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
         return apply_dirichlet(
             vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
         )
@@ -740,7 +740,7 @@ class BaseHMM:
                 S_loc = jnp.einsum(
                     "c,cmr,crt,cnt->cmn", vols, strain_P, A_T, strain_P
                 )
-            vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+            vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
             b = assemble_load_vector(verts, sys.cells, f_fn, bs=bs, degree=rhs_degree)
             vals_bc, b_bc = apply_dirichlet(
                 vals, sys.cols, sys.diag_slots, b, mask, bvals_m, dia=sys.dia

@@ -154,7 +154,7 @@ class BasePeriodicHMM:
         @jax.jit
         def run_assemble(mask, bvals):
             S_loc = self._macro_local_matrices(sys)
-            vals = assemble_ell(sys.pattern, S_loc, sys.slots)
+            vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
             b = assemble_load_vector(
                 sys.verts, sys.cells, self._f_fn,
                 bs=self._V_macro.bs, degree=self._quad_degree_rhs,

@@ -17,6 +17,7 @@ from hommx_tpu.ops.sparse import ELLPattern, spmv
 
 __all__ = [
     "assemble_ell",
+    "build_gather_assembly",
     "apply_dirichlet",
     "assemble_load_vector",
     "integrate",
@@ -25,15 +26,59 @@ __all__ = [
 ]
 
 
-def assemble_ell(pattern: ELLPattern, S_loc: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
-    """Scatter per-cell blocks (nc, nb, nb) into the flat ELL value array.
+def assemble_ell(
+    pattern: ELLPattern,
+    S_loc: jnp.ndarray,
+    slots: jnp.ndarray,
+    gather: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Assemble per-cell blocks (nc, nb, nb) into the flat ELL value array.
 
-    ``slots`` is ``pattern.slots`` as a device array.  One XLA scatter-add
-    replaces the reference's per-cell ``A.setValues(..., ADD_VALUES)`` loop
-    (reference ``hmm.py:325-330``).
+    Default: one XLA scatter-add over ``slots`` (``pattern.slots`` on
+    device) — replaces the reference's per-cell ``A.setValues(...,
+    ADD_VALUES)`` loop (reference ``hmm.py:325-330``).
+
+    With ``gather`` (from :func:`build_gather_assembly`), the same sum is
+    computed as a gather + row reduction instead: per ELL slot, fetch its
+    (padded) contributor entries from the flat element-matrix array and
+    sum.  Scatter-add with duplicate indices serializes on TPU (and in
+    emulated f64 pays the penalty per colliding add), while the gather
+    formulation is a vectorized fetch over a STATIC contributor table —
+    the assembly becomes shape-regular MXU/VPU work.  Both orders sum the
+    same contributions; results differ only by floating-point
+    reassociation (≤ a few ulp).
     """
+    if gather is not None:
+        flat = jnp.concatenate(
+            [S_loc.reshape(-1), jnp.zeros((1,), S_loc.dtype)]
+        )
+        return jnp.sum(flat[gather], axis=1)
     vals = jnp.zeros(pattern.num_dofs * pattern.row_width, dtype=S_loc.dtype)
     return vals.at[slots.reshape(-1)].add(S_loc.reshape(-1))
+
+
+def build_gather_assembly(pattern: ELLPattern, max_mult: int = 32):
+    """Host-side inversion of the assembly scatter map.
+
+    Returns an int32 ``(num_slots, m)`` table: per flat ELL slot, the
+    indices of its contributing entries in ``S_loc.reshape(-1)``, padded
+    with the sentinel ``S_loc.size`` (which indexes an appended zero in
+    :func:`assemble_ell`).  ``m`` is the maximum contributor multiplicity
+    (≈ number of cells sharing a dof pair — ~24 for 3D P1 vertex
+    diagonals).  Returns None when ``m > max_mult`` (pathological meshes:
+    the padded table would waste memory; keep the scatter)."""
+    slots = pattern.slots.reshape(-1).astype(np.int64)
+    num_slots = pattern.num_dofs * pattern.row_width
+    counts = np.bincount(slots, minlength=num_slots)
+    m = int(counts.max()) if counts.size else 0
+    if m == 0 or m > max_mult:
+        return None
+    order = np.argsort(slots, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(slots.size) - starts[slots[order]]
+    contrib = np.full((num_slots, m), slots.size, dtype=np.int64)
+    contrib[slots[order], pos] = order
+    return jnp.asarray(contrib.astype(np.int32))
 
 
 def apply_dirichlet(

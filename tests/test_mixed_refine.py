@@ -118,3 +118,29 @@ def test_mixed_refine_scan_backend_matches_xla():
     x_s = _mixed_refine_ell(vals_bc, sys.cols, b_bc, factor_backend="scan")
     scale = float(jnp.max(jnp.abs(x64)))
     assert float(jnp.max(jnp.abs(x_s - x64))) < 1e-6 * scale
+
+
+def test_gather_assembly_matches_scatter():
+    """The gather-formulation assembly (per-slot contributor table, used on
+    TPU where scatter-add serializes) reproduces the scatter-add assembly
+    to reassociation level on scalar and vector systems."""
+    from hommx_tpu.models.fem import fem_assemble_values, _local_matrices
+    from hommx_tpu.models.common import MacroSystem
+    from hommx_tpu.ops.assembly import assemble_ell, build_gather_assembly
+    from hommx_tpu.ops.function_space import FunctionSpace
+
+    for mesh, bs, coeff, kind in [
+        (create_unit_square(12, 9), 1,
+         lambda x: 1.0 + 0.5 * jnp.sin(3 * x[0]) * x[1], "scalar"),
+        (create_box([[0, 0, 0], [1, 0.4, 0.1]], [6, 3, 3]), 3,
+         _hooke(3, 1e3), "tensor4"),
+    ]:
+        V = FunctionSpace(mesh, bs)
+        sys = MacroSystem(V, jnp.float64)
+        S_loc = _local_matrices(sys, coeff, kind, 2)
+        v_scatter = assemble_ell(sys.pattern, S_loc, sys.slots)
+        g = build_gather_assembly(sys.pattern)
+        assert g is not None
+        v_gather = assemble_ell(sys.pattern, S_loc, sys.slots, gather=g)
+        scale = float(jnp.max(jnp.abs(v_scatter)))
+        assert float(jnp.max(jnp.abs(v_gather - v_scatter))) < 1e-13 * scale
