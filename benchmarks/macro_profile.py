@@ -104,6 +104,18 @@ def main():
     x = timed("dense_solve_ell (mixed prec)", dense_solve_ell,
               vals_bc, sys.cols, b_bc)
 
+    # factor-backend A/B (round 3: explicit-inverse PCG refinement)
+    from hommx_tpu.ops.solvers import _mixed_refine_ell
+
+    timed("  _mixed_refine_ell xla", jax.jit(
+        lambda v, bb: _mixed_refine_ell(v, sys.cols, bb,
+                                        factor_backend="xla")),
+          vals_bc, b_bc)
+    timed("  _mixed_refine_ell scan", jax.jit(
+        lambda v, bb: _mixed_refine_ell(v, sys.cols, bb,
+                                        factor_backend="scan")),
+          vals_bc, b_bc)
+
     # the fused program, as solve() runs it
     asm, _ = s._macro_jit
     timed("fused macro program", asm, A_star, mask, bvals, b)
