@@ -101,8 +101,9 @@ def main():
     vals_bc, b_bc = timed("apply_dirichlet (f64)", jax.jit(
         lambda v: apply_dirichlet(v, sys.cols, sys.diag_slots, b, mask,
                                   bvals, dia=sys.dia)), vals)
-    x = timed("dense_solve_ell (mixed prec)", dense_solve_ell,
-              vals_bc, sys.cols, b_bc)
+    x = timed("dense_solve_ell (mixed prec)", jax.jit(
+        lambda v, bb: dense_solve_ell(v, sys.cols, bb, dia=sys.dia)),
+              vals_bc, b_bc)
 
     # factor-backend A/B (round 3: explicit-inverse PCG refinement)
     from hommx_tpu.ops.solvers import _mixed_refine_ell

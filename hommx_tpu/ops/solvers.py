@@ -92,7 +92,9 @@ def _dense_solve_f64(A, b64):
     return jax.scipy.linalg.cho_solve((c, low), b64)
 
 
-def _mixed_refine_ell(vals, cols, b, max_sweeps=200, factor_backend=None):
+def _mixed_refine_ell(
+    vals, cols, b, max_sweeps=200, factor_backend=None, dia=None
+):
     """f64-accurate SPD solve by f32 factorization + f64 PCG refinement.
 
     The TPU has no native f64 Cholesky (emulation is ~4× slower than this
@@ -187,7 +189,16 @@ def _mixed_refine_ell(vals, cols, b, max_sweeps=200, factor_backend=None):
 
     tol = 1e-13 * jnp.linalg.norm(b64)
 
-    matvec = lambda v: spmv(vals64, cols, v)
+    # the refinement residual SpMV: DIA shifted multiply-adds when the
+    # sparsity has a DIA view (structured meshes) — no f64 gather per
+    # sweep, the same reason the CG path prefers DIA (ops/dia.py)
+    if dia is not None:
+        from hommx_tpu.ops.dia import dia_spmv, ell_vals_to_dia
+
+        dvals64 = ell_vals_to_dia(dia, vals64)
+        matvec = lambda v: dia_spmv(dvals64, dia.offsets, v)
+    else:
+        matvec = lambda v: spmv(vals64, cols, v)
     r0 = b64
     z0 = prec(r0)
     rz0 = jnp.vdot(r0, z0)
@@ -216,8 +227,7 @@ def _mixed_refine_ell(vals, cols, b, max_sweeps=200, factor_backend=None):
     return x
 
 
-@jax.jit
-def dense_solve_ell(vals, cols, b):
+def dense_solve_ell(vals, cols, b, dia=None):
     """Dense direct solve of the ELL system (small macro systems).
 
     Runs in f64 regardless of the pipeline dtype when x64 is enabled:
@@ -229,13 +239,17 @@ def dense_solve_ell(vals, cols, b):
 
     On TPU (f64 emulated) this is mixed-precision iterative refinement —
     see :func:`_mixed_refine_ell` (the emulated-f64 dense matrix is never
-    materialized; residuals come from the ELL gather-SpMV, N·K values,
-    ~12× less memory traffic per sweep than a dense f64 matvec).
+    materialized; sweep residuals come from the DIA shifted-madds SpMV
+    when ``dia`` is given, else the ELL gather-SpMV — either way N·K
+    values, ~12× less memory traffic per sweep than a dense f64 matvec).
+
+    Not jitted itself (``dia`` is a static host object): every production
+    call site sits inside a model-level jit, which inlines it.
     """
     dt = b.dtype
     if jax.config.jax_enable_x64:
         if jax.default_backend() in ("tpu", "axon"):
-            return _mixed_refine_ell(vals, cols, b).astype(dt)
+            return _mixed_refine_ell(vals, cols, b, dia=dia).astype(dt)
         A = ell_to_dense(vals.astype(jnp.float64), cols)
         x = _dense_solve_f64(A, b.astype(jnp.float64))
         return x.astype(dt)
@@ -315,7 +329,7 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
     if method == "auto":
         method = "direct" if b.shape[0] <= options.direct_threshold else "cg"
     if method == "direct":
-        x = dense_solve_ell(vals, cols, b)
+        x = dense_solve_ell(vals, cols, b, dia=dia)
         return x, jnp.array(0), jnp.array(0.0, dtype=b.dtype)
     if mg is None and amg is not None and options.pc in ("auto", "mg"):
         from hommx_tpu.ops.amg import amg_setup, amg_vcycle

@@ -144,3 +144,18 @@ def test_gather_assembly_matches_scatter():
         v_gather = assemble_ell(sys.pattern, S_loc, sys.slots, gather=g)
         scale = float(jnp.max(jnp.abs(v_scatter)))
         assert float(jnp.max(jnp.abs(v_gather - v_scatter))) < 1e-13 * scale
+
+
+def test_mixed_refine_dia_matvec_matches_ell():
+    """With a DIA view (structured meshes) the refinement residual SpMV
+    runs as shifted multiply-adds; trajectories differ only by
+    reassociation, both reaching the f64 limit."""
+    mesh = create_unit_square(16, 16)
+    sys, vals_bc, b_bc = _system(
+        mesh, 1, lambda x: 1.0 + 0.5 * jnp.sin(3 * x[0]) * x[1], "scalar"
+    )
+    assert sys.dia is not None
+    x_ell = _mixed_refine_ell(vals_bc, sys.cols, b_bc)
+    x_dia = _mixed_refine_ell(vals_bc, sys.cols, b_bc, dia=sys.dia)
+    scale = float(jnp.max(jnp.abs(x_ell)))
+    assert float(jnp.max(jnp.abs(x_dia - x_ell))) < 1e-10 * scale
