@@ -22,6 +22,7 @@ chips are visible).
 """
 
 import json
+import multiprocessing
 import time
 
 import jax
@@ -32,7 +33,49 @@ from hommx_tpu.meshes import create_unit_square
 from hommx_tpu.micro.engine import MicroEngine
 
 
+def _probe_backend(q):
+    try:
+        import jax as _jax
+
+        q.put(_jax.devices()[0].platform)
+    except Exception as e:  # pragma: no cover - probe child
+        q.put(f"error: {e}")
+
+
+def _backend_alive(timeout_s=240.0):
+    """Bounded device probe in a child process.
+
+    The axon TPU tunnel can go down for hours, in which case
+    ``jax.devices()`` blocks FOREVER (no error) — a bare benchmark run
+    would hang the driver.  Probe in a subprocess with a timeout so the
+    failure mode is a fast, honest error JSON instead of a hang."""
+    ctx = multiprocessing.get_context("fork")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe_backend, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.terminate()
+        p.join(5)
+        return None
+    try:
+        return q.get_nowait()
+    except Exception:
+        return None
+
+
 def main():
+    platform = _backend_alive()
+    if platform is None or str(platform).startswith("error"):
+        print(json.dumps({
+            "metric": "micro_cell_solves_per_sec",
+            "value": 0,
+            "unit": "solves/s",
+            "vs_baseline": 0,
+            "error": "accelerator backend unavailable (axon tunnel down "
+                     "or init failure) — no measurement taken",
+        }))
+        return
     dev = jax.devices()[0]
     on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.float32 if on_tpu else jnp.float64
