@@ -180,5 +180,33 @@ class MacroSystem:
             else:
                 from hommx_tpu.ops.amg import build_amg_structure
 
-                self._amg = build_amg_structure(self.pattern, self.V.bs)
+                self._amg = build_amg_structure(
+                    self.pattern, self.V.bs,
+                    near_kernel=self._rigid_modes(),
+                )
         return self._amg
+
+    def _rigid_modes(self):
+        """Static near-null-space basis for the AMG tentative prolongation:
+        per-component translations + rotations from the dof coordinates
+        when the block size matches the dimension (elasticity) — the
+        analogue of handing PETSc GAMG the rigid-body ``NearNullSpace``
+        (strictly stronger than the reference, which leaves GAMG on its
+        translation-only default).  None for scalar systems (the
+        translations-only default inside build_amg_structure)."""
+        bs, d = self.V.bs, self.V.dim
+        if bs != d or d < 2:
+            return None
+        x = np.asarray(self.V.tabulate_dof_coordinates(), dtype=np.float64)
+        # center + scale so rotation columns are O(1) like the translations
+        x = x - x.mean(axis=0)
+        x = x / max(float(np.abs(x).max()), 1e-30)
+        n_nodes = x.shape[0]
+        m = bs + (d * (d - 1)) // 2
+        B = np.zeros((n_nodes * bs, m))
+        B[np.arange(n_nodes * bs), np.arange(n_nodes * bs) % bs] = 1.0
+        pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
+        for k, (a, b) in enumerate(pairs):
+            B[np.arange(n_nodes) * bs + a, bs + k] = -x[:, b]
+            B[np.arange(n_nodes) * bs + b, bs + k] = x[:, a]
+        return B

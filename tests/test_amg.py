@@ -62,12 +62,12 @@ def _system(mesh):
 
 
 def test_amg_structure_and_exact_galerkin():
-    """The hierarchy builds on a Delaunay mesh and the traced level-1
+    """The plain hierarchy builds on a Delaunay mesh and the traced level-1
     operator equals the dense Pᵀ A P (piecewise-constant P) exactly."""
     mesh = _delaunay_mesh(56)  # 3249 dofs > CPU bottom_max 1500
     V, sys, vals_bc, b_bc = _system(mesh)
     assert mesh.structure is None and sys.mg is None
-    struct = build_amg_structure(sys.pattern, 1)
+    struct = build_amg_structure(sys.pattern, 1, smoothed=False)
     assert struct is not None and struct.num_levels >= 2
     state = amg_setup(struct, vals_bc)
 
@@ -96,13 +96,52 @@ def test_amg_structure_and_exact_galerkin():
         assert np.abs(Ac - Ac_ref).max() < 1e-11
 
 
-def test_amg_pcg_matches_direct_and_beats_jacobi():
+def test_amg_smoothed_exact_galerkin():
+    """The smoothed hierarchy's traced level-1 operator equals the dense
+    Pᵀ A P computed from the traced P values over the static pattern —
+    the contributor-table SpGEMM is exact."""
+    mesh = _delaunay_mesh(56)
+    V, sys, vals_bc, b_bc = _system(mesh)
+    struct = build_amg_structure(sys.pattern, 1, smoothed=True)
+    assert struct is not None and struct.smoothed
+    state = amg_setup(struct, vals_bc)
+
+    from hommx_tpu.ops.sparse import ell_to_dense
+
+    lev0 = struct.levels[0]
+    A = np.asarray(ell_to_dense(vals_bc, jnp.asarray(lev0.cols)))
+    nc = struct.levels[1].n_dofs
+    KP = lev0.p_cols.shape[1]
+    Pv = np.asarray(state[0]["Pv"])
+    P = np.zeros((lev0.n_dofs, nc))
+    np.add.at(P, (np.arange(lev0.n_dofs * KP) // KP, lev0.p_cols.reshape(-1)), Pv)
+    # BC rows of P are structurally present but zero-valued
+    zm = np.asarray(state[0]["zmask"])
+    assert np.abs(P[zm == 0]).max() == 0.0
+    Ac_ref = P.T @ A @ P
+    empty = np.abs(np.diag(Ac_ref)) == 0
+    Ac_ref[empty, empty] = 1.0
+    if struct.num_levels > 2:
+        Ac = np.asarray(
+            ell_to_dense(state[1]["vals"], jnp.asarray(struct.levels[1].cols))
+        )
+        assert np.abs(Ac - Ac_ref).max() < 1e-11
+    else:
+        Ac = np.asarray(state[1]["binv"])
+        assert np.abs(Ac @ Ac_ref - np.eye(nc)).max() < 1e-8
+
+
+@pytest.mark.parametrize(
+    "smoothed,max_its", [(True, 15), (False, 33)], ids=["smoothed", "plain"]
+)
+def test_amg_pcg_matches_direct_and_beats_jacobi(smoothed, max_its):
     """AMG-PCG on a Delaunay system above direct_threshold matches the
-    direct solve; iteration count stays within 3x of the structured
-    geometric-MG count on the same-size problem (round-2 verdict gate)."""
+    direct solve.  Smoothed aggregation must reach the structured
+    geometric-MG count (~11 its — measured 11); plain aggregation keeps
+    the round-2 verdict gate of <=3x that count (measured 21)."""
     mesh = _delaunay_mesh(72)  # 5329 dofs > direct_threshold 4096
     V, sys, vals_bc, b_bc = _system(mesh)
-    struct = build_amg_structure(sys.pattern, 1)
+    struct = build_amg_structure(sys.pattern, 1, smoothed=smoothed)
     assert struct is not None
     state = amg_setup(struct, vals_bc)
     matvec = lambda v: spmv(vals_bc, jnp.asarray(sys.cols), v)
@@ -114,13 +153,11 @@ def test_amg_pcg_matches_direct_and_beats_jacobi():
     scale = float(jnp.max(jnp.abs(x_ref)))
     assert float(jnp.max(jnp.abs(x_amg - x_ref))) < 1e-9 * scale
 
-    # structured geometric MG on the same-size 72x72 grid: ~11 iterations;
-    # the verdict gate allows <=3x for the aggregation hierarchy
     _, it_j, _ = cg_matfree(
         matvec, _ell_diag(vals_bc, sys.cols), b_bc,
         atol=0.0, rtol=1e-11, maxiter=10000,
     )
-    assert int(it_amg) <= 33, (int(it_amg), int(it_j))
+    assert int(it_amg) <= max_its, (int(it_amg), int(it_j))
     assert int(it_amg) * 3 < int(it_j)
 
 
@@ -152,10 +189,17 @@ def test_amg_routed_through_solver_api():
     assert mg_s is not None and amg_s is None
 
 
-def test_amg_unstructured_elasticity():
+@pytest.mark.parametrize(
+    "variant,max_its",
+    [("rigid", 25), ("translations", 35), ("plain", 60)],
+)
+def test_amg_unstructured_elasticity(variant, max_its):
     """Aggregation AMG on an unstructured 2D VECTOR (elasticity) system:
     component-wise aggregation + block-row graph; gates correctness vs the
-    direct solve and a strong Jacobi margin (measured 43 vs 804 its)."""
+    direct solve and a strong Jacobi margin.  Measured: 20 its with the
+    rigid-body near-kernel (the MacroSystem.amg default — GAMG with
+    NearNullSpace), 28 with translations only (GAMG's own default), 43
+    plain, 804 Jacobi."""
 
     def hooke2(x):
         lam, mu = 1.0 + 0.3 * x[0], 0.5
@@ -177,7 +221,12 @@ def test_amg_unstructured_elasticity():
     vals_bc, b_bc = apply_dirichlet(
         vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
     )
-    struct = build_amg_structure(sys.pattern, 2)
+    if variant == "rigid":
+        struct = sys.amg  # rigid-body near-kernel via MacroSystem
+    else:
+        struct = build_amg_structure(
+            sys.pattern, 2, smoothed=variant == "translations"
+        )
     assert struct is not None
     state = amg_setup(struct, vals_bc)
     matvec = lambda v: spmv(vals_bc, jnp.asarray(sys.cols), v)
@@ -188,7 +237,7 @@ def test_amg_unstructured_elasticity():
     x_ref = dense_solve_ell(vals_bc, sys.cols, b_bc)
     scale = float(jnp.max(jnp.abs(x_ref)))
     assert float(jnp.max(jnp.abs(x - x_ref))) < 1e-9 * scale
-    assert int(it) <= 60
+    assert int(it) <= max_its
     _, it_j, _ = cg_matfree(
         matvec, _ell_diag(vals_bc, sys.cols), b_bc,
         atol=0.0, rtol=1e-11, maxiter=20000,
