@@ -82,7 +82,7 @@ def main():
     # --- macro internals ---
     sys = s._sys
     A_star = jax.block_until_ready(s.homogenized_tensors())
-    from hommx_tpu.ops.assembly import merge_bcs
+    from hommx_tpu.models.common import merge_bcs
     mask, bvals = merge_bcs(s._bcs, s._V_macro.num_dofs, jnp.float64)
     b = s._b_load
     nd = int(b.shape[0])
