@@ -19,7 +19,84 @@ __all__ = [
     "merge_bcs",
     "MacroSystem",
     "macro_precs",
+    "assemble_macro_system",
 ]
+
+
+def _df_assembly(sys, macro_f64: bool) -> bool:
+    """Whether the f64 macro assembly should run in double-float32.
+
+    On TPU backends every f64 op is software-emulated on the VPU and the
+    assembly chain (tiny FLOPs) measures ~110 ms of pure emulation
+    overhead on the rotated-fiber beam; the df path (ops/twofloat.py)
+    computes the same chain in exact-compensated f32 pairs at O(2⁻⁴⁸)
+    relative error — far below the refinement solver's 1e-13 target and
+    the f32 A* input error.  Native-f64 backends (CPU) keep true f64.
+    ``HOMMX_MACRO_ASSEMBLY=df|f64`` overrides (trace-time).
+    """
+    if not macro_f64:
+        return False
+    import os
+
+    mode = os.environ.get("HOMMX_MACRO_ASSEMBLY", "auto")
+    if mode == "f64":
+        return False
+    if mode != "df" and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return sys.gather_asm is not None
+
+
+def assemble_macro_system(sys, A_star, b, mask, bvals, *, bs, macro_f64):
+    """A*(c_T) batch → BC-applied macro ELL system (vals_bc, b_bc).
+
+    The shared macro assembly of ``BaseHMM._macro_assemble`` and
+    ``build_pipeline``: per-cell stiffness einsum (reference
+    ``hmm.py:334-369``), global ELL assembly (``hmm.py:325-330,442``),
+    symmetric Dirichlet lifting (``hmm.py:453-480``).
+
+    On the f64 direct path the chain runs either in true f64 (native-f64
+    backends) or in double-float32 on TPU (see :func:`_df_assembly`); the
+    returned values are f64 either way.
+    """
+    from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell
+
+    if _df_assembly(sys, macro_f64):
+        from hommx_tpu.ops import twofloat as tf
+
+        P64 = sys.strain_P64 if bs > 1 else sys.grads64
+        A_T = jnp.swapaxes(A_star, -1, -2)
+        S_df = tf.sloc_einsum_df(
+            tf.df_from_f64(sys.vols64), tf.df_from_f64(P64), A_T
+        )
+        vals_df = tf.assemble_gather_df(S_df, sys.gather_asm)
+        vals_df, b_bc = tf.apply_dirichlet_df(
+            vals_df,
+            sys.cols,
+            sys.diag_slots,
+            b.astype(jnp.float64),
+            mask,
+            bvals.astype(jnp.float64),
+            dia=sys.dia,
+        )
+        return tf.df_to_f64(vals_df), b_bc
+    if macro_f64:
+        vols = sys.vols64
+        P = sys.strain_P64 if bs > 1 else sys.grads64
+        A_T = jnp.swapaxes(A_star, -1, -2).astype(jnp.float64)
+        bvals = bvals.astype(jnp.float64)
+        b = b.astype(jnp.float64)
+    else:
+        vols = sys.vols
+        P = sys.strain_P if bs > 1 else sys.grads
+        A_T = jnp.swapaxes(A_star, -1, -2)  # reference index order
+    if bs == 1:
+        S_loc = jnp.einsum("c,cad,cde,cbe->cab", vols, P, A_T, P)
+    else:
+        S_loc = jnp.einsum("c,cmr,crt,cnt->cmn", vols, P, A_T, P)
+    vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
+    return apply_dirichlet(
+        vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+    )
 
 
 def macro_precs(sys, options, f64: bool = False):
@@ -140,12 +217,18 @@ class MacroSystem:
         is fine and the table would be wasted memory.  None when
         unavailable (CPU, or pathological multiplicity)."""
         if self._gather_asm is False:
+            import os
+
             import jax as _jax
 
             from hommx_tpu.config import host_setup
             from hommx_tpu.ops.assembly import build_gather_assembly
 
-            if _jax.default_backend() in ("tpu", "axon"):
+            want = _jax.default_backend() in ("tpu", "axon") or (
+                # df assembly forced on a CPU backend (tests/A-B runs)
+                os.environ.get("HOMMX_MACRO_ASSEMBLY") == "df"
+            )
+            if want:
                 with host_setup():
                     self._gather_asm = build_gather_assembly(self.pattern)
             else:

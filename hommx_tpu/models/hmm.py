@@ -35,12 +35,13 @@ from hommx_tpu.config import default_dtype
 from hommx_tpu.micro.engine import MicroEngine
 from hommx_tpu.models.common import (
     MacroSystem,
+    assemble_macro_system,
     macro_precs,
     merge_bcs,
     probe_coeff_kind,
 )
 from hommx_tpu.models.fem import _as_source
-from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_vector
+from hommx_tpu.ops.assembly import assemble_load_vector
 from hommx_tpu.ops.function_space import (
     DirichletBC,
     Function,
@@ -552,28 +553,14 @@ class BaseHMM:
         """Pure macro assembly: A* batch → BC-applied system.
 
         On the direct-solve path the whole assembly runs in f64 with the f64
-        geometry shadows (see __init__ on _macro_f64).  ``b`` is the
-        pre-assembled load vector (cached across solves — f and the mesh
-        are static; see ``set_right_hand_side``)."""
-        sys = self._sys
-        if self._macro_f64:
-            vols, grads = sys.vols64, sys.grads64
-            strain_P = getattr(sys, "strain_P64", None)
-            A_T = jnp.swapaxes(A_star, -1, -2).astype(jnp.float64)
-            bvals = bvals.astype(jnp.float64)
-        else:
-            vols, grads = sys.vols, sys.grads
-            strain_P = getattr(sys, "strain_P", None)
-            A_T = jnp.swapaxes(A_star, -1, -2)  # reference index order
-        if self._V_macro.bs == 1:
-            S_loc = jnp.einsum("c,cad,cde,cbe->cab", vols, grads, A_T, grads)
-        else:
-            S_loc = jnp.einsum(
-                "c,cmr,crt,cnt->cmn", vols, strain_P, A_T, strain_P
-            )
-        vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
-        return apply_dirichlet(
-            vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+        geometry shadows (see __init__ on _macro_f64) — in double-float32
+        pairs on TPU backends, where native f64 is software-emulated
+        (ops/twofloat.py; ``HOMMX_MACRO_ASSEMBLY`` overrides).  ``b`` is
+        the pre-assembled load vector (cached across solves — f and the
+        mesh are static; see ``set_right_hand_side``)."""
+        return assemble_macro_system(
+            self._sys, A_star, b, mask, bvals,
+            bs=self._V_macro.bs, macro_f64=self._macro_f64,
         )
 
     def _use_sharded_macro(self) -> bool:
@@ -720,30 +707,13 @@ class BaseHMM:
                 sys.cols, options, dia=sys.dia, mg=_mg, amg=_amg
             )
             _implicit_solve = lambda v, b: (_solve_x(v, b), None, None)
-        if macro_f64:
-            vols, grads, verts = sys.vols64, sys.grads64, sys.verts64
-            strain_P = getattr(sys, "strain_P64", None)
-            bvals_m = bvals.astype(jnp.float64)
-        else:
-            vols, grads, verts = sys.vols, sys.grads, sys.verts
-            strain_P = getattr(sys, "strain_P", None)
-            bvals_m = bvals
+        verts = sys.verts64 if macro_f64 else sys.verts
 
         def step(centers):
             A_star = micro_stage(centers)
-            A_T = jnp.swapaxes(A_star, -1, -2)
-            if macro_f64:
-                A_T = A_T.astype(jnp.float64)
-            if bs == 1:
-                S_loc = jnp.einsum("c,cad,cde,cbe->cab", vols, grads, A_T, grads)
-            else:
-                S_loc = jnp.einsum(
-                    "c,cmr,crt,cnt->cmn", vols, strain_P, A_T, strain_P
-                )
-            vals = assemble_ell(sys.pattern, S_loc, sys.slots, gather=sys.gather_asm)
             b = assemble_load_vector(verts, sys.cells, f_fn, bs=bs, degree=rhs_degree)
-            vals_bc, b_bc = apply_dirichlet(
-                vals, sys.cols, sys.diag_slots, b, mask, bvals_m, dia=sys.dia
+            vals_bc, b_bc = assemble_macro_system(
+                sys, A_star, b, mask, bvals, bs=bs, macro_f64=macro_f64
             )
             x = _implicit_solve(vals_bc, b_bc)[0]
             return x.astype(dtype)

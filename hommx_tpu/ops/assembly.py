@@ -66,7 +66,13 @@ def build_gather_assembly(pattern: ELLPattern, max_mult: int = 32):
     :func:`assemble_ell`).  ``m`` is the maximum contributor multiplicity
     (≈ number of cells sharing a dof pair — ~24 for 3D P1 vertex
     diagonals).  Returns None when ``m > max_mult`` (pathological meshes:
-    the padded table would waste memory; keep the scatter)."""
+    the padded table would waste memory; keep the scatter).
+
+    Returns NUMPY (not jnp): callers cache the table lazily and the first
+    touch can happen inside an active jit trace, where ``jnp.asarray``
+    would produce a trace-local constant — caching THAT leaks a tracer
+    into every later trace (UnexpectedTracerError).  A numpy table embeds
+    as a fresh constant per consuming trace instead."""
     slots = pattern.slots.reshape(-1).astype(np.int64)
     num_slots = pattern.num_dofs * pattern.row_width
     counts = np.bincount(slots, minlength=num_slots)
@@ -78,7 +84,7 @@ def build_gather_assembly(pattern: ELLPattern, max_mult: int = 32):
     pos = np.arange(slots.size) - starts[slots[order]]
     contrib = np.full((num_slots, m), slots.size, dtype=np.int64)
     contrib[slots[order], pos] = order
-    return jnp.asarray(contrib.astype(np.int32))
+    return contrib.astype(np.int32)
 
 
 def apply_dirichlet(
