@@ -127,7 +127,8 @@ def main():
     def facto(vals):
         A32 = ell_to_dense(vals.astype(jnp.float32), sys.cols)
         A32 = 0.5 * (A32 + A32.T)
-        diag = jnp.einsum("nk,nk->n", vals.astype(jnp.float32),
+        diag = jnp.einsum("nk,nk->n",
+                          vals.astype(jnp.float32).reshape(nd, -1),
                           (sys.cols == jnp.arange(nd)[:, None]).astype(jnp.float32))
         sc = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
         As = sc[:, None] * A32 * sc[None, :]

@@ -395,15 +395,21 @@ class BaseHMM:
         # logs and continues; we do the same, naming the offending cells).
         # Computed ON DEVICE: reading A* back for a host-side check costs
         # ~70-120 ms on the beam through the ~10-15 MB/s axon readback
-        # tunnel; the per-cell bool mask is a few KB.
+        # tunnel; the per-cell bool mask is a few KB.  On the fused direct
+        # path the any-NaN flag rides the macro program's packed stats
+        # readback instead of its own dispatch+sync (each costs ~25 ms
+        # through the tunnel); the per-cell indices are only read back on
+        # the rare flagged solve.
         if self._nan_jit is None:
             self._nan_jit = jax.jit(lambda a: jnp.isnan(a).any(axis=(1, 2)))
-        nan_cells = np.nonzero(np.asarray(self._nan_jit(A_star)))[0]
-        if nan_cells.size:
-            logger.error(
-                "Something went wrong when calculating the homogenized tensor "
-                "on %d cells (first: %s)", nan_cells.size, nan_cells[:5].tolist()
-            )
+        nan_cells = np.array([], dtype=np.int64)
+        if not self._macro_f64:
+            nan_cells = np.nonzero(np.asarray(self._nan_jit(A_star)))[0]
+            if nan_cells.size:
+                logger.error(
+                    "Something went wrong when calculating the homogenized tensor "
+                    "on %d cells (first: %s)", nan_cells.size, nan_cells[:5].tolist()
+                )
         # divergence guard: energy minimization bounds diag(A*) by the
         # zero-corrector tensor's diagonal; a violation means the iterative
         # cell solve diverged (e.g. f32 PCG on extreme coefficient contrast
@@ -429,14 +435,30 @@ class BaseHMM:
                     fallback = ((ratio > 0.999) & (med[None, :] < 0.95)).any(
                         axis=1
                     )
-                    return diverged, fallback, jnp.max(contrast)
+                    # scalar summary packed into ONE array: the host reads
+                    # it back in a single sync and only fetches the per-cell
+                    # masks when a flag is actually set (~25 ms per sync
+                    # through the tunnel)
+                    stats = jnp.stack(
+                        [
+                            jnp.max(contrast).astype(jnp.float64),
+                            diverged.any().astype(jnp.float64),
+                            fallback.any().astype(jnp.float64),
+                        ]
+                    )
+                    return diverged, fallback, stats
 
                 self._a0_jit = jax.jit(_guard)
-            diverged_m, fallback_m, contrast_dev = self._a0_jit(
+            diverged_m, fallback_m, gstats = self._a0_jit(
                 A_star, sys.centers
             )
-            contrast = float(contrast_dev)
-            diverged_cells = np.nonzero(np.asarray(diverged_m))[0]
+            gstats = np.asarray(gstats)
+            contrast = float(gstats[0])
+            diverged_cells = (
+                np.nonzero(np.asarray(diverged_m))[0]
+                if gstats[1]
+                else np.array([], dtype=np.int64)
+            )
             if diverged_cells.size:
                 logger.error(
                     "Cell-problem solve diverged on %d cells (homogenized "
@@ -462,8 +484,13 @@ class BaseHMM:
             # but stiffer than exact).  A cell is flagged when one of its
             # generators sits at the zero-corrector bound while the median
             # cell's corrector visibly lowers that generator's energy.
-            # (mask computed in _guard above, on device)
-            fallback_cells = np.nonzero(np.asarray(fallback_m))[0]
+            # (mask computed in _guard above, on device; fetched only when
+            # the packed any-flag is set)
+            fallback_cells = (
+                np.nonzero(np.asarray(fallback_m))[0]
+                if gstats[2]
+                else np.array([], dtype=np.int64)
+            )
             if fallback_cells.size:
                 logger.warning(
                     "%d cells returned the zero-corrector fallback tensor "
@@ -509,7 +536,18 @@ class BaseHMM:
                 def _fused(A_star, mask, bvals, b):
                     vals_bc, b_bc = self._macro_assemble(A_star, mask, bvals, b)
                     x, it, r = self._macro_solve(vals_bc, b_bc)
-                    return vals_bc, x, it, r
+                    # iteration count, residual and the micro-stage NaN flag
+                    # packed into ONE tiny array: the host syncs once per
+                    # solve instead of once per scalar (~25 ms each through
+                    # the tunnel)
+                    stats = jnp.stack(
+                        [
+                            jnp.asarray(it, jnp.float64),
+                            jnp.asarray(r, jnp.float64),
+                            jnp.isnan(A_star).any().astype(jnp.float64),
+                        ]
+                    )
+                    return vals_bc, x, stats
 
                 self._macro_jit = (jax.jit(_fused), None)
             else:
@@ -520,11 +558,20 @@ class BaseHMM:
         asm, slv = self._macro_jit
         t0 = time.perf_counter()
         if slv is None:
-            vals_bc, x, iters, res = asm(A_star, mask, bvals, self._b_load)
+            vals_bc, x, stats = asm(A_star, mask, bvals, self._b_load)
+            stats = np.asarray(stats)  # the solve's single host sync
+            iters, res = int(stats[0]), float(stats[1])
+            if stats[2]:
+                nan_cells = np.nonzero(np.asarray(self._nan_jit(A_star)))[0]
+                logger.error(
+                    "Something went wrong when calculating the homogenized "
+                    "tensor on %d cells (first: %s)",
+                    nan_cells.size, nan_cells[:5].tolist(),
+                )
         else:
             vals_bc, b_bc = asm(A_star, mask, bvals, self._b_load)
             x, iters, res = slv(vals_bc, b_bc)
-        iters, res = int(iters), float(res)
+            iters, res = int(iters), float(res)
         t_macro = time.perf_counter() - t0
         if iters >= self._options_global.maxiter:
             logger.error(
