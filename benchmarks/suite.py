@@ -70,7 +70,39 @@ def _run(make_solver, name, nrhs_equiv):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller meshes")
+    ap.add_argument(
+        "--config", type=int, default=0,
+        help="run only config #k in THIS process (internal; 0 = parent "
+        "mode, which runs every config in its own subprocess)",
+    )
     args = ap.parse_args()
+
+    if args.config == 0:
+        # Per-config process isolation: after ~3 full HMM pipelines'
+        # compiled programs + constants accumulate in one process, the
+        # axon TPU backend starts failing executions with a bare
+        # INVALID_ARGUMENT (reproduced: configs 1+2+3 crash config 3's
+        # first solve; any two of them pass).  Each row is cold-measured
+        # anyway, so isolation changes no semantics — and it matches how
+        # the driver runs bench.py.
+        import os
+        import subprocess
+        import sys
+
+        for k in range(1, 8):
+            cmd = [sys.executable, __file__, "--config", str(k)]
+            if args.quick:
+                cmd.append("--quick")
+            r = subprocess.run(cmd, env=dict(os.environ))
+            if r.returncode != 0:
+                print(
+                    json.dumps(
+                        {"config": f"#{k}", "error": f"exit {r.returncode}"}
+                    ),
+                    flush=True,
+                )
+        return
+    k_only = args.config
 
     from hommx_tpu import (
         LinearElasticityHMM,
@@ -103,7 +135,8 @@ def main():
                           dtype=f32 if on_tpu else f64, dedup_cells=False,
                           engine_kwargs={"coeff_rank": 2, "solver": "pcg"})
 
-    _run(c1, "2d_poisson_laminate", 2)
+    if k_only == 1:
+        _run(c1, "2d_poisson_laminate", 2)
 
     # 2. 2D PoissonStratifiedHMM, wavy laminate
     def c2():
@@ -125,7 +158,8 @@ def main():
                                  engine_kwargs={"cell_prec": "fft"})
         return s
 
-    _run(c2, "2d_stratified_wavy_laminate", 2)
+    if k_only == 2:
+        _run(c2, "2d_stratified_wavy_laminate", 2)
 
     # 3. 3D PoissonHMM on the unit cube (examples/hmm_3d.py config)
     def c3():
@@ -137,7 +171,8 @@ def main():
                           dtype=f32 if on_tpu else f64, dedup_cells=False,
                           engine_kwargs={"coeff_rank": 2, "solver": "pcg"})
 
-    _run(c3, "3d_poisson_cube", 3)
+    if k_only == 3:
+        _run(c3, "3d_poisson_cube", 3)
 
     # 4. 3D LinearElasticityHMM with stiff circular fiber (contrast 1e5)
     def circle(a, b):
@@ -172,7 +207,8 @@ def main():
                         s.function_space))
         return s
 
-    _run(c4, "3d_elasticity_fiber", 9)
+    if k_only == 4:
+        _run(c4, "3d_elasticity_fiber", 9)
 
     # 5. 3D rotated-fiber beam (flagship, BASELINE config 5)
     W = 0.4
@@ -194,7 +230,8 @@ def main():
                         s.function_space))
         return s
 
-    _run(c5, "3d_rotated_fiber_beam", 12)
+    if k_only == 5:
+        _run(c5, "3d_rotated_fiber_beam", 12)
 
     # 5b. the same beam with the DEFAULT solve() path (dedup_cells=True):
     # the rotated-fiber coefficient depends on x only through the rotation
@@ -202,7 +239,8 @@ def main():
     # (angle, barycenter-parity) classes — this row shows the wall-clock
     # a default user actually gets, with unique_cells making the
     # reduction explicit (throughput is computed on unique solves)
-    _run(lambda: c5(dedup=True), "3d_rotated_fiber_beam_dedup", 12)
+    if k_only == 6:
+        _run(lambda: c5(dedup=True), "3d_rotated_fiber_beam_dedup", 12)
 
     # 6. at-scale MG-path HMM (round-3 verdict item 6): 128² macro ×
     # 16² micro Poisson — 16,641 macro dofs, above direct_threshold, so
@@ -217,8 +255,9 @@ def main():
         return PoissonHMM(macro, A, lambda x: 1.0, micro, 1 / 2**5,
                           dtype=f32 if on_tpu else f64, dedup_cells=False)
 
-    d6 = _run(c6, "2d_poisson_mg_macro_128", 2)
-    assert d6["cells"] == (2048 if q else 32768)
+    if k_only == 7:
+        d6 = _run(c6, "2d_poisson_mg_macro_128", 2)
+        assert d6["cells"] == (2048 if q else 32768)
 
 
 if __name__ == "__main__":
