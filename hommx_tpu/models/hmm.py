@@ -153,6 +153,7 @@ class BaseHMM:
         self._dedup_cells = bool(dedup_cells)
         self._n_unique: Optional[int] = None
         self._fp_jit = None
+        self._dedup_cache = False  # False = not yet computed (None is valid)
 
         bs = self._block_size()
         self._V_macro = FunctionSpace(msh, bs)
@@ -278,9 +279,15 @@ class BaseHMM:
         The jitted fingerprint program is cached on the instance: rebuilding
         it per solve re-traces the full coefficient evaluation (~0.4 s on
         the rotated-fiber beam — larger than the deduplicated solve itself).
+        The RESULT is cached too: the coefficient and the cell centers are
+        both fixed at construction, and the per-solve fingerprint dispatch
+        + (nc, 16) readback costs ~50 ms through the tunnel.
         """
+        if self._dedup_cache is not False:
+            return self._dedup_cache
         nc = int(centers.shape[0])
         if nc < 16:
+            self._dedup_cache = None
             return None
         if self._fp_jit is None:
             eng = self._engine
@@ -313,13 +320,17 @@ class BaseHMM:
             # not enough duplication to pay for the indirection; every cell
             # is actually solved, so diagnostics must report the full count
             self._n_unique = None
+            self._dedup_cache = None
             return None
         self._n_unique = n_unique
         logger.info(
             "micro stage deduplicated: %d cells -> %d unique cell problems",
             nc, n_unique,
         )
-        return rep.astype(np.int64), inverse.reshape(-1).astype(np.int64)
+        self._dedup_cache = (
+            rep.astype(np.int64), inverse.reshape(-1).astype(np.int64)
+        )
+        return self._dedup_cache
 
     def _shard_cells(self, centers):
         """Sharding constraint on the macro-cell batch (no-op without
@@ -551,9 +562,17 @@ class BaseHMM:
 
                 self._macro_jit = (jax.jit(_fused), None)
             else:
+
+                def _slv(vals_bc, b_bc):
+                    x, it, r = self._macro_solve(vals_bc, b_bc)
+                    # packed (iters, residual): one host sync, not two
+                    return x, jnp.stack(
+                        [jnp.asarray(it, x.dtype), jnp.asarray(r, x.dtype)]
+                    )
+
                 self._macro_jit = (
                     jax.jit(self._macro_assemble),
-                    jax.jit(self._macro_solve),
+                    jax.jit(_slv),
                 )
         asm, slv = self._macro_jit
         t0 = time.perf_counter()
@@ -570,8 +589,9 @@ class BaseHMM:
                 )
         else:
             vals_bc, b_bc = asm(A_star, mask, bvals, self._b_load)
-            x, iters, res = slv(vals_bc, b_bc)
-            iters, res = int(iters), float(res)
+            x, stats = slv(vals_bc, b_bc)
+            stats = np.asarray(stats)  # one sync for both scalars
+            iters, res = int(stats[0]), float(stats[1])
         t_macro = time.perf_counter() - t0
         if iters >= self._options_global.maxiter:
             logger.error(
