@@ -40,6 +40,11 @@ import numpy as np
 
 __all__ = ["MicroStencil", "build_stencil", "stencil_weights", "stencil_matvec"]
 
+# Size gate for the dense matmul formulations: above this many (K·n·nE)
+# entries the dense operators' extra flops/constants outweigh the gather
+# path's HBM traffic (the 16x16 benchmark mesh is 0.9M; 32x32 is 14.7M).
+_DENSE_CAP = 4_000_000
+
 
 @dataclass(frozen=True)
 class MicroStencil:
@@ -54,6 +59,14 @@ class MicroStencil:
     pinned: np.ndarray  # pinned reduced node ids (identity rows)
     teF: np.ndarray  # (n, MF) element indices of (e, i)→node contributions
     gD: np.ndarray  # (n, MF, r) test gradients D_{e,i} (zeroed at pins)
+    # Dense (MXU) formulations of the gather tables — the weight/RHS maps
+    # are LINEAR in the reduced coefficient ``a``, so on small cell meshes
+    # each becomes one shared-operand matmul instead of a (C, n, M) gather
+    # (measured 4-5x on the per-chunk weight assembly; None above the
+    # _DENSE_CAP size gate, where the gather's O(M/nE) sparsity wins).
+    Wd: Optional[np.ndarray] = None  # (K·n, nE) identity-B_K weight map
+    Wsym: Optional[np.ndarray] = None  # (K, n, nE, nsym) B_K-sym weight map
+    WF: Optional[np.ndarray] = None  # (n, nE, r) dense RHS gradient map
 
 
 def build_stencil(engine) -> Optional[MicroStencil]:
@@ -151,6 +164,40 @@ def build_stencil(engine) -> Optional[MicroStencil]:
         for m, (e, g) in enumerate(contribs):
             teF[p, m] = e
             gD[p, m] = g
+
+    # dense matmul forms (gate: total dense entries small enough that the
+    # O(nE/M) extra flops stay cheap MXU work instead of HBM pressure)
+    K = len(te_list)
+    Wd = Wsym = WF = None
+    if K * n * ne <= _DENSE_CAP:
+        nsym = r * (r + 1) // 2
+        Wd = np.zeros((K, n, ne), dtype=np.float64)
+        Wsym = np.zeros((K, n, ne, nsym), dtype=np.float64)
+        pairs = [(i, i) for i in range(r)] + [
+            (i, j) for i in range(r) for j in range(i + 1, r)
+        ]
+        for k in range(K):
+            tek, gBk = te_list[k], gB_list[k]
+            for p in range(n):
+                for m in range(tek.shape[1]):
+                    e = tek[p, m]
+                    if e >= ne:
+                        continue
+                    Wd[k, p, e] += np.trace(gBk[p, m])
+                    for si, (i, j) in enumerate(pairs):
+                        # symmetric B_K: off-diagonal pairs contribute
+                        # gB[i,j] + gB[j,i] against B_K[i,j]
+                        v = gBk[p, m, i, j]
+                        if i != j:
+                            v = v + gBk[p, m, j, i]
+                        Wsym[k, p, e, si] += v
+        Wd = Wd.reshape(K * n, ne)
+        WF = np.zeros((n, ne, r), dtype=np.float64)
+        for p in range(n):
+            for m in range(teF.shape[1]):
+                e = teF[p, m]
+                if e < ne:
+                    WF[p, e] += gD[p, m]
     return MicroStencil(
         shape=shape,
         offsets=np.asarray(offsets, dtype=np.int64),
@@ -161,11 +208,18 @@ def build_stencil(engine) -> Optional[MicroStencil]:
         pinned=np.nonzero(pin)[0],
         teF=teF,
         gD=gD,
+        Wd=Wd,
+        Wsym=Wsym,
+        WF=WF,
     )
 
 
 def stencil_weights(st: MicroStencil, a, B_K=None):
     """Per-chunk stencil weights, one (n, C) array per offset.
+
+    Dense path (``st.Wd``/``st.Wsym`` present): the weights are linear in
+    ``a``, so all K offsets assemble as ONE (K·n, nE)-by-(nE, C) matmul —
+    MXU work with a single read of ``a`` instead of K (C, n, M) gathers.
 
     Args:
         st: the static stencil.
@@ -174,17 +228,37 @@ def stencil_weights(st: MicroStencil, a, B_K=None):
             problems); None means identity.
     """
     C = a.shape[0]
-    a_pad = jnp.concatenate([a, jnp.zeros((C, 1), a.dtype)], axis=1)
-    ws = []
-    for k in range(len(st.te)):
-        av = a_pad[:, st.te[k]]  # (C, n, M)
-        if B_K is None:
-            wk = jnp.einsum("cnm,nm->nc", av, st.gw[k].astype(a.dtype))
-        else:
-            wk = jnp.einsum(
-                "cnm,nmrt,crt->nc", av, st.gB[k].astype(a.dtype), B_K
-            )
-        ws.append(wk)
+    K = len(st.te)
+    n = st.te[0].shape[0]
+    if st.Wd is not None and B_K is None:
+        W = jnp.asarray(st.Wd, dtype=a.dtype)  # (K·n, nE)
+        ws_all = (W @ a.T).reshape(K, n, C)
+        ws = [ws_all[k] for k in range(K)]
+    elif st.Wsym is not None and B_K is not None:
+        r = B_K.shape[-1]
+        nsym = r * (r + 1) // 2
+        Wsym = jnp.asarray(st.Wsym, dtype=a.dtype)  # (K, n, nE, nsym)
+        t1 = (
+            Wsym.transpose(0, 1, 3, 2).reshape(K * n * nsym, -1) @ a.T
+        ).reshape(K, n, nsym, C)
+        pairs = [(i, i) for i in range(r)] + [
+            (i, j) for i in range(r) for j in range(i + 1, r)
+        ]
+        Bs = jnp.stack([B_K[:, i, j] for (i, j) in pairs], axis=0)  # (nsym, C)
+        ws_all = jnp.einsum("knsc,sc->knc", t1, Bs)
+        ws = [ws_all[k] for k in range(K)]
+    else:
+        a_pad = jnp.concatenate([a, jnp.zeros((C, 1), a.dtype)], axis=1)
+        ws = []
+        for k in range(K):
+            av = a_pad[:, st.te[k]]  # (C, n, M)
+            if B_K is None:
+                wk = jnp.einsum("cnm,nm->nc", av, st.gw[k].astype(a.dtype))
+            else:
+                wk = jnp.einsum(
+                    "cnm,nmrt,crt->nc", av, st.gB[k].astype(a.dtype), B_K
+                )
+            ws.append(wk)
     if st.pinned.size:
         ws[st.self_k] = ws[st.self_k].at[st.pinned, :].set(1.0)
     return ws
@@ -204,6 +278,15 @@ def stencil_rhs(st: MicroStencil, a, E, TE=None):
     Returns: (n, s, C).
     """
     C = a.shape[0]
+    if st.WF is not None:
+        WF = jnp.asarray(st.WF, dtype=a.dtype)  # (n, nE, r)
+        n, nE, r = WF.shape
+        if TE is None:
+            RE = jnp.einsum("ner,rs->nse", WF, E)  # static fold
+            s = E.shape[1]
+            return -(RE.reshape(n * s, nE) @ a.T).reshape(n, s, C)
+        H = (WF.transpose(0, 2, 1).reshape(n * r, nE) @ a.T).reshape(n, r, C)
+        return -jnp.einsum("nrc,crs->nsc", H, TE)
     a_pad = jnp.concatenate([a, jnp.zeros((C, 1), a.dtype)], axis=1)
     av = a_pad[:, st.teF]  # (C, n, MF)
     gD = jnp.asarray(st.gD, dtype=a.dtype)

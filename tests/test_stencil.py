@@ -59,7 +59,7 @@ def test_stencil_matvec_matches_dense(mesh_fn):
     for c in range(C):
         K = _dense_K(eng, np.asarray(a)[c])
         np.testing.assert_allclose(
-            out[:, :, c], K @ np.asarray(P)[:, :, c], rtol=0, atol=1e-12
+            out[:, :, c], K @ np.asarray(P)[:, :, c], rtol=1e-12, atol=1e-12
         )
 
 
@@ -79,7 +79,7 @@ def test_stencil_matvec_matches_dense_with_map():
     for c in range(C):
         K = _dense_K(eng, np.asarray(a)[c], B=np.asarray(B_K)[c])
         np.testing.assert_allclose(
-            out[:, :, c], K @ np.asarray(P)[:, :, c], rtol=0, atol=1e-12
+            out[:, :, c], K @ np.asarray(P)[:, :, c], rtol=1e-12, atol=1e-12
         )
 
 
