@@ -1049,15 +1049,36 @@ class MicroEngine:
                 prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
             else:
                 prec_eff = prec
+            raw = None
+            if stencil is not None and not fft_prec and self._use_pallas_pcg():
+                # fused Pallas PCG (micro/stencil_pcg.py): fold the scaling
+                # into the weights and run the whole Krylov loop in VMEM
+                from hommx_tpu.micro.stencil import scale_weights
+                from hommx_tpu.micro.stencil_pcg import stencil_pcg_pallas
+
+                ws_s = scale_weights(stencil, stencil_ws, sc[:, 0, :])
+                raw = lambda B: stencil_pcg_pallas(
+                    ws_s, B, Minv, stencil.shape, stencil.offsets,
+                    self.pcg_tol, self.pcg_maxiter,
+                )
             Y, iters = _solve_linear(
                 lambda P: sc * matvec(sc * P), prec_eff, sc * F,
                 self.pcg_tol, self.pcg_maxiter, with_iters, implicit_diff,
+                raw=raw,
             )
             X = sc * Y
         else:
+            raw = None
+            if stencil is not None and not fft_prec and self._use_pallas_pcg():
+                from hommx_tpu.micro.stencil_pcg import stencil_pcg_pallas
+
+                raw = lambda B: stencil_pcg_pallas(
+                    stencil_ws, B, Minv, stencil.shape, stencil.offsets,
+                    self.pcg_tol, self.pcg_maxiter,
+                )
             X, iters = _solve_linear(
                 matvec, prec, F, self.pcg_tol, self.pcg_maxiter, with_iters,
-                implicit_diff,
+                implicit_diff, raw=raw,
             )
 
         # corrected fields Φ = E + T·(D X) and A* = (1/|Y|) Φᵀ Ā Φ.
@@ -1164,6 +1185,21 @@ class MicroEngine:
         X = solve_scaled(F)
         R = F - jnp.einsum("cnm,msc->nsc", Kc, X)
         return X + solve_scaled(R)
+
+    def _use_pallas_pcg(self) -> bool:
+        """Route the stencil chunk-PCG through the fused Pallas kernel
+        (micro/stencil_pcg.py): TPU backend + f32 only (the CPU/f64 parity
+        paths keep the XLA loop); ``HOMMX_STENCIL_PCG=xla`` reverts."""
+        import os
+
+        if os.environ.get("HOMMX_STENCIL_PCG", "auto") == "xla":
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            return False
 
     def _get_stencil(self):
         """Cached periodic grid stencil (micro/stencil.py), or None.
@@ -1553,7 +1589,8 @@ def _block_pcg_matfree(matvec, F, Minv, tol, maxiter):
     return jnp.where(good[None, :], bX, 0.0)
 
 
-def _solve_linear(matvec, prec, F, tol, maxiter, with_iters, implicit_diff):
+def _solve_linear(matvec, prec, F, tol, maxiter, with_iters, implicit_diff,
+                  raw=None):
     """Chunk PCG with implicit differentiation.
 
     ``lax.custom_linear_solve`` attaches the implicit-function-theorem
@@ -1570,13 +1607,23 @@ def _solve_linear(matvec, prec, F, tol, maxiter, with_iters, implicit_diff):
     is applied *outside* it as ``where(good, X, 0)`` on the non-differentiable
     boolean mask — so a clamped column returns primal 0 AND gradient 0 (the
     primal is locally the constant 0), instead of the unclamped system's
-    gradient against a zeroed primal (round-2 advisor finding)."""
+    gradient against a zeroed primal (round-2 advisor finding).
+
+    ``raw`` optionally replaces the XLA Krylov loop with an equivalent
+    solver ``raw(B) -> (bX_unclamped, iters)`` for the SAME operator (the
+    fused Pallas stencil kernel, micro/stencil_pcg.py); the energy clamp
+    and the implicit VJP wrapper are applied identically around it."""
+    raw_solve = raw if raw is not None else (
+        lambda B: _chunk_pcg_raw(matvec, prec, B, tol, maxiter)
+    )
     if with_iters or not implicit_diff:
-        return _chunk_pcg(matvec, prec, F, tol, maxiter)
+        bX, iters = raw_solve(F)
+        good = _clamp_good(matvec, prec, F, bX)
+        return jnp.where(good[None], bX, 0.0), iters
     X = jax.lax.custom_linear_solve(
         matvec,
         F,
-        solve=lambda mv, B: _chunk_pcg_raw(mv, prec, B, tol, maxiter)[0],
+        solve=lambda mv, B: raw_solve(B)[0],
         symmetric=True,
     )
     good = _clamp_good(matvec, prec, F, jax.lax.stop_gradient(X))

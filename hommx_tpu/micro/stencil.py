@@ -264,6 +264,28 @@ def stencil_weights(st: MicroStencil, a, B_K=None):
     return ws
 
 
+def scale_weights(st: MicroStencil, ws, sc2):
+    """Fold the symmetric diagonal scaling into the weights: the scaled
+    operator (S K S)[p, p+Δk] = sc[p]·w_k[p]·sc[p+Δk], so
+    ``ws_s[k] = sc2 ⊙ ws[k] ⊙ roll(sc2, -Δk)`` — this lets a solver (the
+    fused Pallas PCG) run on the scaled system with no scaling inside its
+    loop.  ``sc2`` is (n, C) with 1.0 at pinned rows (the engine's ``sc``),
+    which preserves the identity self-weight at pins exactly."""
+    n, C = sc2.shape
+    g = sc2.reshape(*st.shape, C)
+    axes = tuple(range(len(st.shape)))
+    out = []
+    for k, off in enumerate(st.offsets):
+        if all(int(o) == 0 for o in off):
+            rolled = sc2
+        else:
+            rolled = jnp.roll(
+                g, tuple(-int(o) for o in off), axis=axes
+            ).reshape(n, C)
+        out.append(sc2 * ws[k] * rolled)
+    return out
+
+
 def stencil_rhs(st: MicroStencil, a, E, TE=None):
     """Generator load F = −D2ᵀ(Ā Tᵀ E) (keep-masked) by gather-reduce.
 

@@ -129,6 +129,62 @@ def test_chunk_pcg_stencil_matches_matfree():
     np.testing.assert_allclose(A_st, A_mf, rtol=0, atol=1e-9)
 
 
+@pytest.mark.parametrize("mesh_fn", [
+    lambda: create_unit_square(6, 6),
+    lambda: create_unit_cube(3),
+])
+def test_stencil_pcg_pallas_matches_xla_loop(mesh_fn):
+    """The fused Pallas chunk-PCG (interpret mode on CPU) reproduces the
+    XLA Krylov loop: same iterates (to reassociation) and iteration count,
+    both on raw and scaling-folded weights (micro/stencil_pcg.py)."""
+    from hommx_tpu.micro.engine import _chunk_pcg_raw
+    from hommx_tpu.micro.stencil import scale_weights
+    from hommx_tpu.micro.stencil_pcg import stencil_pcg_pallas
+
+    eng = MicroEngine(mesh_fn(), dtype=jnp.float32, solver="pcg")
+    st = build_stencil(eng)
+    assert st is not None
+    rng = np.random.default_rng(7)
+    C, s, n = 5, eng.s, eng.n_reduced
+    a = jnp.asarray(rng.uniform(0.5, 3.0, (C, eng.nE)), dtype=jnp.float32)
+    ws = stencil_weights(st, a)
+    F = jnp.asarray(
+        rng.standard_normal((n, s, C)), dtype=jnp.float32
+    ) * (~eng.pin_mask)[:, None, None]
+    Minv = eng._get_K0inv().astype(jnp.float32)
+
+    matvec = lambda P: stencil_matvec(st, ws, P)
+    prec = lambda R: (Minv @ R.reshape(n, -1)).reshape(n, s, C)
+    X_ref, it_ref = _chunk_pcg_raw(matvec, prec, F, 1e-6, 200)
+    X_pl, it_pl = stencil_pcg_pallas(
+        ws, F, Minv, st.shape, st.offsets, 1e-6, 200, interpret=True
+    )
+    assert int(it_pl) == int(it_ref)
+    np.testing.assert_allclose(
+        np.asarray(X_pl), np.asarray(X_ref), rtol=0, atol=5e-5
+    )
+
+    # scaling folded into the weights ≡ the symmetrically scaled operator
+    sc2 = jnp.where(
+        eng.pin_mask[:, None],
+        1.0,
+        jnp.asarray(rng.uniform(0.5, 2.0, (n, C)), dtype=jnp.float32),
+    ).astype(jnp.float32)
+    ws_s = scale_weights(st, ws, sc2)
+    sc = sc2[:, None, :]
+    mv_scaled = lambda P: sc * matvec(sc * P)
+    Y_ref, jt_ref = _chunk_pcg_raw(mv_scaled, prec, F, 1e-6, 200)
+    Y_pl, jt_pl = stencil_pcg_pallas(
+        ws_s, F, Minv, st.shape, st.offsets, 1e-6, 200, interpret=True
+    )
+    # weight folding (sc⊙w⊙roll(sc)) rounds differently from sc*(K(sc*P)),
+    # so the lockstep stop can land one iteration apart — both converged
+    assert abs(int(jt_pl) - int(jt_ref)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(Y_pl), np.asarray(Y_ref), rtol=0, atol=5e-5
+    )
+
+
 def test_chunk_pcg_stencil_matches_matfree_stratified():
     """Same with a Dθᵀ map (B_K-weighted stencil) and the fft prec."""
     mesh = create_unit_square(8, 8)
