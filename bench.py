@@ -80,21 +80,28 @@ def main():
     on_tpu = dev.platform in ("tpu", "axon")
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    # Workload: 2D Poisson HMM micro stage — 32768 macro quadrature points,
+    # Workload: 2D Poisson HMM micro stage — 2^20 macro quadrature points
+    # (a 512x512 P1 macro mesh has 524k cells; 3D runs are larger still),
     # 16x16 unit-cell micro mesh (n_red = 256), d = 2 generator solves each.
+    # The batch is sized for STEADY-STATE throughput: the axon tunnel has a
+    # fixed ~24 ms dispatch+readback latency per call, so small batches
+    # measure latency, not the device (32k cells: 2.0M solves/s; 1M cells:
+    # 7.2M — the full latency/throughput curve is in docs/performance.md).
     micro = create_unit_square(16, 16)
     engine = MicroEngine(
         micro, bs=1, coeff_kind="scalar", quad_degree=2, dtype=dtype,
     )
 
-    n_cells = 32768
+    n_cells = 1048576 if on_tpu else 4096
     rng = np.random.default_rng(0)
 
     def coeff(x, y):
         return 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0])
 
     # round-3 sweep (fresh-input 5-rep medians): 2048 → 1.06M, 4096 → 1.00M,
-    # 8192 → 0.90M, 16384 → 0.76M solves/s
+    # 8192 → 0.90M, 16384 → 0.76M solves/s (at 32k cells, pre-Pallas-PCG);
+    # with the fused Pallas PCG at 1M cells, 2048 edges out 4096 (7.18 vs
+    # 6.93M)
     chunk = 2048 if on_tpu else 256
 
     @jax.jit
