@@ -789,19 +789,45 @@ class MicroEngine:
             self.pcg_strategy == "densek" or chol_chunk
         ) and not scalar_sep
         if densek_chunk:
-            blocks = jnp.einsum(
-                "erl,cert,etm->celm", self.Draw, A_K, self.Draw
-            )  # (C, nE, nbl, nbl)
-            rows = self.loc2red[:, :, None]
-            cols = self.loc2red[:, None, :]
-            flat = jnp.asarray((rows * n + cols).reshape(-1))
-            Kc = jnp.zeros((C, n * n), dtype=self.dtype)
-            Kc = Kc.at[:, flat].add(blocks.reshape(C, -1))
-            keepn = jnp.logical_not(self.pin_mask).astype(self.dtype)
-            pinn = self.pin_mask.astype(self.dtype)
-            Kc = Kc.reshape(C, n, n) * keepn[None, :, None] * keepn[
-                None, None, :
-            ] + jnp.diag(pinn)[None]
+            kcg = self._get_kc_gather()
+            if kcg is not None:
+                # gather-table assembly (see _get_kc_gather): element blocks
+                # stay in the einsum's natural cell-major (C, src) layout —
+                # a source-major (src, C) variant forces XLA to materialize
+                # the (C, nE, r, r) coefficient batch with the tiny r dims
+                # on the (8,128) tile (measured 25× padding blowup → OOM at
+                # chunk 4320) — then one fixed-width contributor gather and
+                # one placement gather along the minor source axis; keep/pin
+                # masking is static per target
+                tab, inv_map, keep_vec, pin_vec = kcg
+                bft = jnp.einsum(
+                    "erl,cert,etm->celm", self.Draw, A_K, self.Draw
+                ).reshape(C, -1)  # (C, nE·nbl²)
+                bft = jnp.concatenate(
+                    [bft, jnp.zeros((C, 1), self.dtype)], axis=1
+                )
+                vals = jnp.sum(bft[:, jnp.asarray(tab)], axis=2)  # (C, nnz)
+                vals = vals * jnp.asarray(keep_vec, self.dtype)[
+                    None, :
+                ] + jnp.asarray(pin_vec, self.dtype)[None, :]
+                vals = jnp.concatenate(
+                    [vals, jnp.zeros((C, 1), self.dtype)], axis=1
+                )
+                Kc = vals[:, jnp.asarray(inv_map)].reshape(C, n, n)
+            else:
+                blocks = jnp.einsum(
+                    "erl,cert,etm->celm", self.Draw, A_K, self.Draw
+                )  # (C, nE, nbl, nbl)
+                rows = self.loc2red[:, :, None]
+                cols = self.loc2red[:, None, :]
+                flat = jnp.asarray((rows * n + cols).reshape(-1))
+                Kc = jnp.zeros((C, n * n), dtype=self.dtype)
+                Kc = Kc.at[:, flat].add(blocks.reshape(C, -1))
+                keepn = jnp.logical_not(self.pin_mask).astype(self.dtype)
+                pinn = self.pin_mask.astype(self.dtype)
+                Kc = Kc.reshape(C, n, n) * keepn[None, :, None] * keepn[
+                    None, None, :
+                ] + jnp.diag(pinn)[None]
 
         # Low-rank coefficient path (see __init__ on coeff_rank): factorize
         # a ≈ U V through R anchor cells (f64 — interpolative, exact when the
@@ -1220,6 +1246,67 @@ class MicroEngine:
                 with host_setup():
                     self._stencil = build_stencil(self)
         return self._stencil
+
+    def _get_kc_gather(self):
+        """Host-precomputed gather tables for the chunk dense-K assembly,
+        or None (CPU backends keep the scatter).
+
+        The per-cell reduced operator Kc is assembled from the element
+        blocks (C, nE, nbl, nbl); the hypothesis was that the scatter-add
+        ``at[:, flat].add`` would serialize on TPU under duplicate target
+        indices (the pathology the macro assembly hit —
+        ops/assembly.py::build_gather_assembly).  Inverting the map on the
+        host turns the assembly into a fixed-width gather + reduction over
+        the ~m contributors of each of the nnz coupled dof pairs (m ≈
+        #elements sharing the pair, ≤24 for 3D P1 vertex diagonals),
+        followed by one placement gather into the dense (n, n) layout, with
+        the keep/pin masking folded into static per-target vectors.
+        MEASURED: unlike the macro case (scatter over a shared target),
+        this scatter's duplicate indices live on the MINOR axis with the
+        big cell batch C major, and XLA already vectorizes it over C — the
+        gather variant is 5% SLOWER on the rotated-fiber production config
+        (214.8 vs 204.2 ms micro stage, identical checksums; a
+        source-major (src, C) layout is worse still, forcing the (C, nE,
+        r, r) coefficient batch onto (8,128) tiles at 25× padding → OOM).
+        So the default is scatter on every backend; ``HOMMX_KC_ASSEMBLY=
+        gather`` opts in (kept equivalence-tested).  Tables are NUMPY
+        (trace-local constant rule, see build_gather_assembly)."""
+        if getattr(self, "_kc_gather", False) is False:
+            import os
+
+            mode = os.environ.get("HOMMX_KC_ASSEMBLY", "scatter")
+            want = mode == "gather"
+            if not want:
+                self._kc_gather = None
+                return None
+            n = self.n_reduced
+            l2r = np.asarray(self.loc2red, dtype=np.int64)  # (nE, nbl)
+            flat = (l2r[:, :, None] * n + l2r[:, None, :]).reshape(-1)
+            nz, inv = np.unique(flat, return_inverse=True)
+            counts = np.bincount(inv)
+            m = int(counts.max()) if counts.size else 0
+            if m == 0 or m > 64:  # pathological mesh: keep the scatter
+                self._kc_gather = None
+                return None
+            order = np.argsort(inv, kind="stable")
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(flat.size) - starts[inv[order]]
+            tab = np.full((nz.size, m), flat.size, dtype=np.int64)
+            tab[inv[order], pos] = order
+            inv_map = np.full(n * n, nz.size, dtype=np.int64)
+            inv_map[nz] = np.arange(nz.size)
+            pin = np.asarray(self.pin_mask)
+            keepn = np.logical_not(pin)
+            ti, tj = nz // n, nz % n
+            keep_vec = (keepn[ti] & keepn[tj]).astype(np.float64)
+            pin_vec = ((ti == tj) & pin[ti]).astype(np.float64)
+            self._kc_gather = (
+                tab.astype(np.int32),
+                inv_map.astype(np.int32),
+                keep_vec,
+                pin_vec,
+            )
+        return self._kc_gather
 
     def _get_fft_symbols(self):
         """DFT symbols of the reduced periodic operator for a basis of

@@ -113,3 +113,53 @@ def test_chunk_cholesky_elasticity_route():
     # Voigt duplicate columns are exact duplicates after expansion
     Xn = np.asarray(X)
     assert np.array_equal(Xn[..., 1], Xn[..., 3])  # (0,1) == (1,0)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-13), (jnp.float32, 2e-6)])
+def test_kc_gather_assembly_matches_scatter(monkeypatch, dtype, tol):
+    """The TPU gather-table Kc assembly (HOMMX_KC_ASSEMBLY=gather, see
+    MicroEngine._get_kc_gather) must reproduce the scatter assembly: the
+    chunk dense-K / chunk-Cholesky routes produce the same homogenized
+    tensors.  f64 pins near machine precision (only summation order
+    differs); f32 allows rounding-order noise."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    mu = lambda x, y: jnp.where(
+        (y[0] - 0.5) ** 2 + (y[1] - 0.5) ** 2 < 0.09,
+        50.0 * (1.0 + 0.2 * x[0]),
+        0.5 + 0.3 * jnp.sin(2 * jnp.pi * y[1]),
+    )
+    A_el = hooke_tensor(2, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.4 * x[1]
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, s], [-s, c]]).T
+
+    mesh = create_unit_square(6, 6)
+    centers = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (9, 2)), dtype=dtype
+    )
+    # chunk-Cholesky route needs f32; at f64 force the chunk dense-K PCG
+    kw = (
+        dict(solver="cholesky")
+        if jnp.dtype(dtype) == jnp.float32
+        else dict(solver="pcg", pcg_strategy="densek", cell_prec="fft")
+    )
+
+    def run(mode):
+        monkeypatch.setenv("HOMMX_KC_ASSEMBLY", mode)
+        eng = MicroEngine(
+            mesh, bs=2, coeff_kind="tensor4", dtype=dtype, **kw
+        )
+        out = np.asarray(
+            eng.tensors_for_centers(A_el, centers, G_fn=G_fn, chunk=9)
+        )
+        if mode == "gather":
+            assert eng._kc_gather is not None  # path actually exercised
+        return out
+
+    scatter = run("scatter")
+    gather = run("gather")
+    err = np.abs(gather - scatter).max() / np.abs(scatter).max()
+    assert err < tol, err
