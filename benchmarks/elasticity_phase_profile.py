@@ -136,6 +136,35 @@ def main():
         return eng._chol_chunk_solve(Kc, F)
     timed("factor+solve", jax.jit(solve_fn), Kcs)
 
+    # phase 5b: RHS build F = -Σ_e D_eᵀ (Tᵀ Ā_e) E
+    D2 = eng.D.reshape(nE * r, n)
+    keep = jnp.logical_not(eng.pin_mask).astype(dtype)[:, None, None]
+
+    def rhs_fn(c):
+        A_F = ak_fn(c)  # same shape/cost class as the true Tᵀ Ā_e product
+        AE = jnp.einsum("cert,ts->ersc", A_F, eng.E)
+        return -(D2.T @ AE.reshape(nE * r, s * C)).reshape(n, s, C) * keep
+    timed("coeff+rhs", jax.jit(rhs_fn), centers)
+
+    # phase 6: A* contraction from a fresh iterate X (n, s, C)
+    Xs = [jnp.asarray(rng.standard_normal((n, s, C)), dtype=dtype)
+          for _ in range(reps + 1)]
+
+    def astar_fn(X):
+        c = centers[0]
+        A_K = ak_fn(c)
+        G = jax.vmap(lambda x: jnp.asarray(G_fn(x), dtype=dtype))(c)
+        T = jax.vmap(_sym_map)(G)
+        Ae = jax.vmap(lambda x: eng._raw_coeff(A_el, x))(c)
+        TDX = jnp.einsum(
+            "crt,etsc->ersc", T,
+            (D2 @ X.reshape(n, s * C)).reshape(nE, r, s, C),
+        )
+        Phi = eng.E[None, :, :, None] + TDX
+        APhi = jnp.einsum("cert,etsc->ersc", Ae, Phi)
+        return jnp.einsum("ernc,ermc->cnm", Phi, APhi) / eng.volume_Y
+    timed("astar(+coef)", jax.jit(astar_fn), Xs)
+
     # phase 7: the full production call at one chunk
     full = jax.jit(
         lambda c: eng.tensors_for_centers(A_el, c, G_fn=G_fn, chunk=C)

@@ -1117,6 +1117,26 @@ class MicroEngine:
                 stencil_astar(stencil, stencil_ws, a, E, F, X)
                 / self.volume_Y
             )
+        elif densek_chunk:
+            # Same exact bilinear expansion on the materialized Kc:
+            #   ΦᵀĀΦ = EᵀĀE − FᵀX − XᵀF + XᵀKX
+            # (F = −D₂ᵀTᵀĀE and K = D₂ᵀTᵀĀTD₂; X vanishes on pinned dofs,
+            # so XᵀKcX = XᵀKX despite the identity pin rows).  Replaces the
+            # three (nE, r, s, C) gradient-field intermediates — which XLA
+            # lays out with the tiny r/s dims on the (8,128) tile at ~19-25×
+            # padding (measured 85 ms of the 204 ms rotated-fiber micro
+            # stage) — with one Kc matvec and three (s, s, C)-sized dots.
+            # Identical for any iterate X, so the implicit-VJP/clamping
+            # semantics are unchanged (clamped zero columns give EᵀĀE, the
+            # zero-corrector tensor, as before).
+            KX = jnp.einsum("cnm,msc->nsc", Kc, X)
+            XtF = jnp.einsum("nsc,nmc->csm", X, F)
+            XtKX = jnp.einsum("nsc,nmc->csm", X, KX)
+            Abar = jnp.sum(Ae_blocks, axis=1)  # (C, r, r)
+            term1 = jnp.einsum("rs,crt,tm->csm", E, Abar, E)
+            Astar = (
+                term1 - XtF - jnp.swapaxes(XtF, 1, 2) + XtKX
+            ) / self.volume_Y
         else:
             TDX = apply_map(B_Phi, expand(X))  # (nE, r, s, C)
             Phi = E[None, :, :, None] + TDX
