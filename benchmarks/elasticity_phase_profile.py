@@ -83,7 +83,7 @@ def main():
     )
     raw0 = timed("coeff", coeff_fn, centers)
 
-    # phase 2: strain-map einsum
+    # phase 2: strain-map einsum (the OLD A_K route, kept for reference)
     def ak_fn(c):
         Ae = jax.vmap(lambda x: eng._raw_coeff(A_el, x))(c)
         G = jax.vmap(lambda x: jnp.asarray(G_fn(x), dtype=dtype))(c)
@@ -92,22 +92,29 @@ def main():
     ak_j = jax.jit(ak_fn)
     timed("coeff+A_K", ak_j, centers)
 
-    # phase 3: element blocks + scatter Kc
+    # phase 3: Kron-map Kc assembly (the production route since the Kron
+    # fast path landed — A_K never materialized)
     def kc_fn(c):
-        A_K = ak_fn(c)
-        blocks = jnp.einsum("erl,cert,etm->celm", eng.Draw, A_K, eng.Draw)
+        Ae = jax.vmap(lambda x: eng._raw_coeff(A_el, x))(c)
+        G = jax.vmap(lambda x: jnp.asarray(G_fn(x), dtype=dtype))(c)
+        T = jax.vmap(_sym_map)(G)
+        TkT = jnp.einsum("cmr,ctn->cmtrn", T, T).reshape(C, r * r, r * r)
+        AKv = jnp.einsum("cex,cxy->cey", Ae.reshape(C, nE, r * r), TkT)
+        blocks_flat = jnp.einsum(
+            "cex,exy->cey", AKv, eng._get_kron_M()
+        ).reshape(C, -1)
         rows = eng.loc2red[:, :, None]
         cols = eng.loc2red[:, None, :]
         flat = jnp.asarray((rows * n + cols).reshape(-1))
         Kc = jnp.zeros((C, n * n), dtype=dtype)
-        Kc = Kc.at[:, flat].add(blocks.reshape(C, -1))
+        Kc = Kc.at[:, flat].add(blocks_flat)
         keepn = jnp.logical_not(eng.pin_mask).astype(dtype)
         pinn = eng.pin_mask.astype(dtype)
         return Kc.reshape(C, n, n) * keepn[None, :, None] * keepn[
             None, None, :
         ] + jnp.diag(pinn)[None]
     kc_j = jax.jit(kc_fn)
-    Kc0 = timed("..+blocks+Kc", kc_j, centers)
+    Kc0 = timed("coeff+KcKron", kc_j, centers)
 
     # phase 4: factor only (fresh Kc input so nothing folds)
     from hommx_tpu.ops.batched_chol import (
@@ -146,24 +153,25 @@ def main():
         return -(D2.T @ AE.reshape(nE * r, s * C)).reshape(n, s, C) * keep
     timed("coeff+rhs", jax.jit(rhs_fn), centers)
 
-    # phase 6: A* contraction from a fresh iterate X (n, s, C)
+    # phase 6: bilinear-expansion A* from a fresh iterate X (n, s, C)
+    # (the production contraction: ΦᵀĀΦ = EᵀĀE − FᵀX − XᵀF + XᵀKcX)
     Xs = [jnp.asarray(rng.standard_normal((n, s, C)), dtype=dtype)
           for _ in range(reps + 1)]
+    F0 = jnp.ones((n, s, C), dtype=dtype)
 
     def astar_fn(X):
         c = centers[0]
-        A_K = ak_fn(c)
-        G = jax.vmap(lambda x: jnp.asarray(G_fn(x), dtype=dtype))(c)
-        T = jax.vmap(_sym_map)(G)
         Ae = jax.vmap(lambda x: eng._raw_coeff(A_el, x))(c)
-        TDX = jnp.einsum(
-            "crt,etsc->ersc", T,
-            (D2 @ X.reshape(n, s * C)).reshape(nE, r, s, C),
-        )
-        Phi = eng.E[None, :, :, None] + TDX
-        APhi = jnp.einsum("cert,etsc->ersc", Ae, Phi)
-        return jnp.einsum("ernc,ermc->cnm", Phi, APhi) / eng.volume_Y
-    timed("astar(+coef)", jax.jit(astar_fn), Xs)
+        Kc = kc_fn(c)
+        KX = jnp.einsum("cnm,msc->nsc", Kc, X)
+        XtF = jnp.einsum("nsc,nmc->csm", X, F0)
+        XtKX = jnp.einsum("nsc,nmc->csm", X, KX)
+        Abar = jnp.sum(Ae, axis=1)
+        term1 = jnp.einsum("rs,crt,tm->csm", eng.E, Abar, eng.E)
+        return (
+            term1 - XtF - jnp.swapaxes(XtF, 1, 2) + XtKX
+        ) / eng.volume_Y
+    timed("astar(+Kc)", jax.jit(astar_fn), Xs)
 
     # phase 7: the full production call at one chunk
     full = jax.jit(

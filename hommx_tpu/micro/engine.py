@@ -751,6 +751,13 @@ class MicroEngine:
         # lanes, and the s-minor layout (s = 2..9) was measured to waste
         # ~4.5× on every elementwise op in the CG loop.
         scalar_sep = self.coeff_kind == "scalar"
+        # Route flags, hoisted above the coefficient mapping so the A_K
+        # materialization can be skipped on the Kron fast path below.
+        chol_chunk = self.solver == "cholesky" and not scalar_sep
+        densek_chunk = (
+            self.pcg_strategy == "densek" or chol_chunk
+        ) and not scalar_sep
+        fft_prec = self.cell_prec == "fft" and not chol_chunk
         if scalar_sep:
             a = raw  # (C, nE); canonical Ā_e = a[c,e]·I — kept separable
             a_w = a.T[:, None, None, :]  # (nE, 1, 1, C) broadcast weight
@@ -770,9 +777,20 @@ class MicroEngine:
             if T is None:
                 A_K, A_F, B_Phi = Ae_blocks, Ae_blocks, None
             else:
-                A_K = jnp.einsum("cmr,cemt,ctn->cern", T, Ae_blocks, T)
                 A_F = jnp.einsum("cmr,cemt->cert", T, Ae_blocks)
                 B_Phi = T
+                if densek_chunk and not fft_prec:
+                    # Kron fast path: A_K = Tᵀ Ā T is consumed ONLY by the
+                    # Kc assembly here, and building it as a (C, nE, r, r)
+                    # einsum puts the tiny r dims on the (8,128) tile.
+                    # Skip it — the assembly below contracts Ā directly
+                    # against T⊗T and the static Draw⊗Draw map as two
+                    # batch-major MXU matmuls (measured 67.8 → 54.4 ms on
+                    # the rotated-fiber Kc build, /tmp A/B, exact
+                    # reassociation of the same sum).
+                    A_K = None
+                else:
+                    A_K = jnp.einsum("cmr,cemt,ctn->cern", T, Ae_blocks, T)
 
         # dense-K chunk strategy (block/tensor problems): assemble the
         # per-cell reduced operators ONCE (batched scatter of element
@@ -783,12 +801,30 @@ class MicroEngine:
         # keeps every elementwise CG op on full vector lanes.  The
         # chunk Cholesky route (the f32 elasticity default, round 3)
         # reuses the same Kc assembly and replaces the Krylov loop with a
-        # batched direct solve (_chol_chunk_solve).
-        chol_chunk = self.solver == "cholesky" and not scalar_sep
-        densek_chunk = (
-            self.pcg_strategy == "densek" or chol_chunk
-        ) and not scalar_sep
+        # batched direct solve (_chol_chunk_solve).  (chol_chunk /
+        # densek_chunk / fft_prec flags are hoisted above the coefficient
+        # mapping.)
         if densek_chunk:
+            if A_K is None:
+                # Kron fast path (see the coefficient mapping above):
+                # blocks[c,e,l,m] = Draw[e,r,l]·T[c,m̄,r]·Ā[c,e,m̄,t̄]·
+                # T[c,t̄,t]·Draw[e,t,m], contracted as
+                # (C,nE,r²)·(C,r²,r²)·(nE,r²,nbl²) — the per-cell T⊗T and
+                # the static Draw⊗Draw Gram stay MXU-shaped instead of
+                # r-tiny einsum stages.
+                TkT = jnp.einsum("cmr,ctn->cmtrn", T, T).reshape(
+                    C, r * r, r * r
+                )
+                AKv = jnp.einsum(
+                    "cex,cxy->cey", Ae_blocks.reshape(C, nE, r * r), TkT
+                )
+                blocks_flat = jnp.einsum(
+                    "cex,exy->cey", AKv, self._get_kron_M()
+                ).reshape(C, -1)  # (C, nE·nbl²)
+            else:
+                blocks_flat = jnp.einsum(
+                    "erl,cert,etm->celm", self.Draw, A_K, self.Draw
+                ).reshape(C, -1)
             kcg = self._get_kc_gather()
             if kcg is not None:
                 # gather-table assembly (see _get_kc_gather): element blocks
@@ -800,11 +836,8 @@ class MicroEngine:
                 # one placement gather along the minor source axis; keep/pin
                 # masking is static per target
                 tab, inv_map, keep_vec, pin_vec = kcg
-                bft = jnp.einsum(
-                    "erl,cert,etm->celm", self.Draw, A_K, self.Draw
-                ).reshape(C, -1)  # (C, nE·nbl²)
                 bft = jnp.concatenate(
-                    [bft, jnp.zeros((C, 1), self.dtype)], axis=1
+                    [blocks_flat, jnp.zeros((C, 1), self.dtype)], axis=1
                 )
                 vals = jnp.sum(bft[:, jnp.asarray(tab)], axis=2)  # (C, nnz)
                 vals = vals * jnp.asarray(keep_vec, self.dtype)[
@@ -815,14 +848,11 @@ class MicroEngine:
                 )
                 Kc = vals[:, jnp.asarray(inv_map)].reshape(C, n, n)
             else:
-                blocks = jnp.einsum(
-                    "erl,cert,etm->celm", self.Draw, A_K, self.Draw
-                )  # (C, nE, nbl, nbl)
                 rows = self.loc2red[:, :, None]
                 cols = self.loc2red[:, None, :]
                 flat = jnp.asarray((rows * n + cols).reshape(-1))
                 Kc = jnp.zeros((C, n * n), dtype=self.dtype)
-                Kc = Kc.at[:, flat].add(blocks.reshape(C, -1))
+                Kc = Kc.at[:, flat].add(blocks_flat)
                 keepn = jnp.logical_not(self.pin_mask).astype(self.dtype)
                 pinn = self.pin_mask.astype(self.dtype)
                 Kc = Kc.reshape(C, n, n) * keepn[None, :, None] * keepn[
@@ -924,7 +954,6 @@ class MicroEngine:
             AE = jnp.einsum("cert,ts->ersc", A_F, E)
             F = -reduce_(AE) * keep
 
-        fft_prec = self.cell_prec == "fft" and not chol_chunk
         if fft_prec and not scalar_sep:
             # elasticity / tensor coefficients: (bs, bs) Hermitian symbol per
             # frequency from the volume-mean coefficient block (includes the
@@ -1266,6 +1295,20 @@ class MicroEngine:
                 with host_setup():
                     self._stencil = build_stencil(self)
         return self._stencil
+
+    def _get_kron_M(self) -> jnp.ndarray:
+        """Static per-element Gram map M[e, (r,t), (l,m)] = Draw[e,r,l]·
+        Draw[e,t,m] for the Kron fast-path Kc assembly (cached; built on
+        the host in f64, stored in the working dtype).  Size nE·r²·nbl²
+        (~18 MB f32 for the 4³ elasticity cell)."""
+        if getattr(self, "_kron_M", None) is None:
+            Draw_np = np.asarray(self.Draw, dtype=np.float64)
+            nE, r, nbl = Draw_np.shape
+            M_np = np.einsum("erl,etm->ertlm", Draw_np, Draw_np).reshape(
+                nE, r * r, nbl * nbl
+            )
+            self._kron_M = jnp.asarray(M_np, dtype=self.dtype)
+        return self._kron_M
 
     def _get_kc_gather(self):
         """Host-precomputed gather tables for the chunk dense-K assembly,

@@ -163,3 +163,42 @@ def test_kc_gather_assembly_matches_scatter(monkeypatch, dtype, tol):
     gather = run("gather")
     err = np.abs(gather - scatter).max() / np.abs(scatter).max()
     assert err < tol, err
+
+
+def test_kron_kc_assembly_matches_einsum_route():
+    """The Kron fast-path Kc assembly (A_K never materialized; element
+    blocks built as (C,nE,r²)·(C,r²,r²)·(nE,r²,nbl²) matmuls, see
+    tensors_chunk_pcg) is an exact reassociation of the TᵀĀT einsum
+    route.  cell_prec='fft' keeps A_K materialized (the symbol needs it),
+    so fft vs default on the f64 densek PCG pins new route vs old to the
+    solver tolerance."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    mu = lambda x, y: jnp.where(
+        (y[0] - 0.5) ** 2 + (y[1] - 0.5) ** 2 < 0.09,
+        50.0 * (1.0 + 0.2 * x[0]),
+        0.5 + 0.3 * jnp.sin(2 * jnp.pi * y[1]),
+    )
+    A_el = hooke_tensor(2, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.4 * x[1]
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, s], [-s, c]]).T
+
+    mesh = create_unit_square(6, 6)
+    centers = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (8, 2)))
+
+    def run(**kw):
+        eng = MicroEngine(
+            mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
+            solver="pcg", pcg_strategy="densek", **kw
+        )
+        return np.asarray(
+            eng.tensors_for_centers(A_el, centers, G_fn=G_fn, chunk=8)
+        )
+
+    kron = run()  # default prec: Kron path (A_K skipped)
+    einsum_route = run(cell_prec="fft")  # fft symbol forces A_K
+    err = np.abs(kron - einsum_route).max() / np.abs(einsum_route).max()
+    assert err < 1e-8, err
