@@ -1298,17 +1298,20 @@ class MicroEngine:
 
     def _get_kron_M(self) -> jnp.ndarray:
         """Static per-element Gram map M[e, (r,t), (l,m)] = Draw[e,r,l]·
-        Draw[e,t,m] for the Kron fast-path Kc assembly (cached; built on
-        the host in f64, stored in the working dtype).  Size nE·r²·nbl²
-        (~18 MB f32 for the 4³ elasticity cell)."""
+        Draw[e,t,m] for the Kron fast-path Kc assembly.  Size nE·r²·nbl²
+        (~18 MB f32 for the 4³ elasticity cell).
+
+        The cache holds NUMPY (trace-local constant rule, see
+        build_gather_assembly): caching the traced jnp array would leak a
+        tracer out of the first jit that touches it."""
         if getattr(self, "_kron_M", None) is None:
             Draw_np = np.asarray(self.Draw, dtype=np.float64)
             nE, r, nbl = Draw_np.shape
             M_np = np.einsum("erl,etm->ertlm", Draw_np, Draw_np).reshape(
                 nE, r * r, nbl * nbl
             )
-            self._kron_M = jnp.asarray(M_np, dtype=self.dtype)
-        return self._kron_M
+            self._kron_M = np.asarray(M_np, dtype=self.dtype)
+        return jnp.asarray(self._kron_M)
 
     def _get_kc_gather(self):
         """Host-precomputed gather tables for the chunk dense-K assembly,

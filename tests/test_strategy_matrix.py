@@ -4,6 +4,7 @@ One deterministic sweep over {dim} x {bs} x {micro_degree} x {strategy,
 preconditioner, scaling, rank} catches interaction bugs the per-feature
 tests cannot."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -202,3 +203,25 @@ def test_kron_kc_assembly_matches_einsum_route():
     einsum_route = run(cell_prec="fft")  # fft symbol forces A_K
     err = np.abs(kron - einsum_route).max() / np.abs(einsum_route).max()
     assert err < 1e-8, err
+
+
+def test_kron_map_cache_survives_retrace():
+    """The cached Kron Gram map must follow the trace-local constant rule
+    (numpy in the cache, jnp per trace): two DISTINCT jit traces on one
+    engine would otherwise leak the first trace's tracer into the second
+    (regression: caught by the phase profiler after the Kron path
+    landed)."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    A_el = hooke_tensor(2, lambda x, y: 1.0 + 0.5 * y[0], lambda x, y: 1.0)
+    mesh = create_unit_square(4, 4)
+    eng = MicroEngine(
+        mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="densek",
+    )
+    centers = jnp.asarray(np.random.default_rng(7).uniform(0, 1, (8, 2)))
+    f1 = jax.jit(lambda c: eng.tensors_for_centers(A_el, c, chunk=4))
+    f2 = jax.jit(lambda c: eng.tensors_for_centers(A_el, c, chunk=8))
+    a = np.asarray(f1(centers))  # first trace populates the cache
+    b = np.asarray(f2(centers))  # second trace must not see a tracer
+    assert np.allclose(a, b, rtol=1e-10)
