@@ -1213,6 +1213,32 @@ class MicroEngine:
             sc = jnp.ones((n, C), dtype=self.dtype)
         scm = sc.T  # (C, n)
         Ks = Kc * scm[:, :, None] * scm[:, None, :]
+        if self._use_chol_kernel(n):
+            # fused Pallas factor+solve (ops/chol_kernel.py): the whole
+            # direct solve — factorization, both substitution phases and
+            # the refinement sweep — runs in one pallas_call per cell
+            # block with the cell axis on the vector lanes, one HBM read
+            # of (Ks, F) and one write of X.  Refinement runs in the
+            # equilibrated system (algebraically the same correction as
+            # the unscaled sweep below).  The Pallas body is not
+            # differentiable, so the solve is wrapped in
+            # lax.custom_linear_solve: gradients are the implicit ones of
+            # the exact solve (adjoint = the same fused solve, symmetric
+            # system), matching the natively-differentiated XLA path.
+            from hommx_tpu.ops.chol_kernel import fused_chol_solve
+
+            Fs = F * sc[:, None, :]
+
+            def mv(v):
+                return jnp.einsum("cnm,msc->nsc", Ks, v)
+
+            def solve(_mv, b):
+                return fused_chol_solve(Ks, b)
+
+            Xs = jax.lax.custom_linear_solve(
+                mv, Fs, solve, symmetric=True
+            )
+            return Xs * sc[:, None, :]
         use_blocked = self.chol_backend == "blocked" or (
             self.chol_backend == "auto"
             and jax.default_backend() in ("tpu", "axon")
@@ -1260,6 +1286,30 @@ class MicroEngine:
         X = solve_scaled(F)
         R = F - jnp.einsum("cnm,msc->nsc", Kc, X)
         return X + solve_scaled(R)
+
+    def _use_chol_kernel(self, n: int) -> bool:
+        """Route the chunk direct solve through the fused Pallas
+        factor+solve kernel (ops/chol_kernel.py) — OPT-IN via
+        ``HOMMX_CHOL_KERNEL=pallas`` (TPU + f32 + the (n, n, Cb) working
+        set must fit VMEM).  Not the default: the Mosaic compile of the
+        statically-unrolled factorization takes tens of minutes, far
+        outweighing its per-call win for any fresh-compile user (the
+        XLA blocked path compiles in seconds and is within ~2x of the
+        kernel's runtime); kept as a tested, measured experiment."""
+        import os
+
+        if os.environ.get("HOMMX_CHOL_KERNEL", "xla") != "pallas":
+            return False
+        if self.dtype != jnp.float32 or self.chol_backend == "xla":
+            return False
+        try:
+            if jax.default_backend() not in ("tpu", "axon"):
+                return False
+        except Exception:  # pragma: no cover
+            return False
+        from hommx_tpu.ops.chol_kernel import fused_chol_block
+
+        return fused_chol_block(n) > 0
 
     def _use_pallas_pcg(self) -> bool:
         """Route the stencil chunk-PCG through the fused Pallas kernel

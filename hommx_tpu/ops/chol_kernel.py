@@ -1,0 +1,313 @@
+"""Fused Pallas batched Cholesky factor+solve for the elasticity chunk.
+
+The XLA blocked factorization (ops/batched_chol.py) already keeps the
+panel solve and Schur update on the MXU, but it still round-trips the
+(C, n, n) working matrix through HBM once per panel and runs the
+diagonal-block recursions as hundreds of tiny (C, nb)-shaped XLA ops
+whose minor dims land on the (8, 128) vector tile at 4-25x padding.
+This kernel runs the ENTIRE direct solve — blocked factorization, both
+triangular substitution phases for all s right-hand sides, and one
+iterative-refinement sweep against the original operator — inside one
+``pallas_call`` per cell block, with the working set resident in VMEM
+and the big cell axis C on the 128-wide vector lanes for every
+elementwise step.  Per (n, n, Cb) block the only HBM traffic is one read
+of the operators/RHS and one write of the solution.
+
+Program-size discipline (hard-won): a fully statically-unrolled
+formulation (panel x panel x rank-1 triple loops as traced ops) blew
+Mosaic's compile time past 15 minutes even at n=64 — every inner loop
+here is a ``lax.fori_loop`` whose dynamically-indexed operands live in
+VMEM scratch refs (values cannot be dynamically sliced in Mosaic), so
+the traced program is a few hundred ops regardless of n.  The panel
+loop itself stays a static Python loop (npan = n/nb iterations) so the
+trailing-block Schur slices keep exact static shapes.
+
+Semantics mirror ``MicroEngine._chol_chunk_solve``'s blocked backend
+(same factorization, same clamped pivots, same one-sweep refinement);
+the refinement here runs in the pre-scaled (equilibrated) system, which
+is algebraically the same correction.  Differentiability is restored at
+the call site by ``jax.lax.custom_linear_solve`` (the kernel itself is
+not differentiable) — see micro/engine.py.
+
+Replaces: the innermost PETSc KSP round trip of the reference's
+per-basis cell solves (reference ``hmm.py:420-426``); the reference has
+no counterpart code — this is the TPU-native form of that hot loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_chol_solve", "fused_chol_available", "fused_chol_block"]
+
+_VMEM_LIMIT = 100 * 2**20
+_LANES = 128
+
+
+def fused_chol_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_chol_block(n: int, nb: int = 32) -> int:
+    """Largest cell-block width (lanes) whose working set fits the VMEM
+    budget, or 0 if none does (caller falls back to the XLA blocked
+    path).  Live set ≈ input block (double-buffered) + the in-place L
+    factor + loop temporaries ≈ 3× the (npad, npad, Cb) block."""
+    npad = n + (-n) % nb
+    for cb in (_LANES, 64, 32):
+        if npad * npad * cb * 4 * 3 <= _VMEM_LIMIT:
+            return cb
+    return 0
+
+
+def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
+                 n: int, s: int, nb: int, eps: float):
+    """One cell block: factor K = L Lᵀ (blocked, clamped pivots), solve
+    for s RHS, one refinement sweep vs the original K.  Layout: every
+    array is (..., Cb) with the cell axis on the vector lanes.
+
+    Scratch: W (n, n, Cb) working matrix, factored in place (L panels
+    end up in its lower triangle); Di (npan, nb, nb, Cb) inverted
+    diagonal blocks; ACC/Y (n, s, Cb) substitution state."""
+    dtype = F_ref.dtype
+    npan = n // nb
+    Cb = F_ref.shape[-1]
+    epsv = jnp.asarray(eps, dtype)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+
+    W_ref[:] = K_ref[:]
+
+    # ---- blocked factorization, in place in W --------------------------
+    for p in range(npan):
+        a = p * nb
+        m = n - a - nb  # static trailing size
+
+        def chol_j(j, _):
+            # pivot and column j of the diagonal block (rows masked < j)
+            piv = jnp.sqrt(
+                jnp.maximum(W_ref[pl.ds(a + j, 1), pl.ds(a + j, 1), :], epsv)
+            )  # (1, 1, Cb)
+            col = W_ref[a:a + nb, pl.ds(a + j, 1), :] / piv  # (nb, 1, Cb)
+            col = jnp.where(iota_nb >= j, col, 0.0)
+            W_ref[a:a + nb, pl.ds(a + j, 1), :] = col
+            # rank-1 update of the remaining columns (> j) only — the
+            # already-written L columns must not be touched
+            colT = jnp.where(
+                jnp.swapaxes(iota_nb, 0, 1) > j,
+                jnp.swapaxes(col, 0, 1),
+                0.0,
+            )  # (1, nb, Cb)
+            W_ref[a:a + nb, a:a + nb, :] = (
+                W_ref[a:a + nb, a:a + nb, :] - col * colT
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nb, chol_j, 0)
+
+        # Lpp^{-1} by a forward Gauss-Jordan sweep into Di[p]
+        Di_ref[p] = jnp.broadcast_to(
+            jnp.eye(nb, dtype=dtype)[:, :, None], (nb, nb, Cb)
+        )
+
+        def gj_k(k, _):
+            piv = W_ref[pl.ds(a + k, 1), pl.ds(a + k, 1), :]  # (1, 1, Cb)
+            xk = Di_ref[p, pl.ds(k, 1), :, :] / piv  # (1, nb, Cb)
+            Di_ref[p, pl.ds(k, 1), :, :] = xk
+            colk = jnp.where(
+                iota_nb > k,
+                W_ref[a:a + nb, pl.ds(a + k, 1), :],
+                0.0,
+            )  # (nb, 1, Cb) strictly-below entries of L column k
+            Di_ref[p] = Di_ref[p] - colk * xk
+            return 0
+
+        jax.lax.fori_loop(0, nb, gj_k, 0)
+
+        if m > 0:
+            # panel solve: Loff = Koff @ Lpp^{-T}, accumulated over k
+            def loff_k(k, acc):
+                kcol = W_ref[a + nb:, pl.ds(a + k, 1), :]  # (m, 1, Cb)
+                drow = jnp.swapaxes(
+                    Di_ref[p, :, pl.ds(k, 1), :], 0, 1
+                )  # (1, nb, Cb): Dinv column k over j
+                return acc + kcol * drow
+
+            Loff = jax.lax.fori_loop(
+                0, nb, loff_k,
+                jnp.zeros((m, nb, Cb), dtype),
+            )
+            W_ref[a + nb:, a:a + nb, :] = Loff
+
+            # Schur update of the trailing block, one rank-1 per k
+            def schur_k(k, _):
+                lcol = W_ref[a + nb:, pl.ds(a + k, 1), :]  # (m, 1, Cb)
+                W_ref[a + nb:, a + nb:, :] = (
+                    W_ref[a + nb:, a + nb:, :]
+                    - lcol * jnp.swapaxes(lcol, 0, 1)
+                )
+                return 0
+
+            jax.lax.fori_loop(0, nb, schur_k, 0)
+
+    # ---- two-phase block substitution (rhs in ACC, result in Y) ---------
+    def solve_from_acc():
+        for p in range(npan):
+            a = p * nb
+
+            def y_k(k, acc):
+                dcol = Di_ref[p, :, pl.ds(k, 1), :]  # (nb, 1, Cb)
+                rrow = ACC_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                return acc + dcol * rrow
+
+            y = jax.lax.fori_loop(
+                0, nb, y_k, jnp.zeros((nb, s, Cb), dtype)
+            )
+            Y_ref[a:a + nb, :, :] = y
+            if p + 1 < npan:
+
+                def below_k(k, acc):
+                    lcol = W_ref[a + nb:, pl.ds(a + k, 1), :]  # (m,1,Cb)
+                    yrow = Y_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                    return acc + lcol * yrow
+
+                upd = jax.lax.fori_loop(
+                    0, nb, below_k,
+                    jnp.zeros((n - a - nb, s, Cb), dtype),
+                )
+                ACC_ref[a + nb:, :, :] = ACC_ref[a + nb:, :, :] - upd
+        ACC_ref[:] = Y_ref[:]
+        for p in reversed(range(npan)):
+            a = p * nb
+
+            def x_k(k, acc):
+                drow = jnp.swapaxes(
+                    Di_ref[p, pl.ds(k, 1), :, :], 0, 1
+                )  # (nb, 1, Cb): Dinv row k transposed
+                rrow = ACC_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                return acc + drow * rrow
+
+            x = jax.lax.fori_loop(
+                0, nb, x_k, jnp.zeros((nb, s, Cb), dtype)
+            )
+            Y_ref[a:a + nb, :, :] = x
+            if p > 0:
+                # subtract (L[p, q])ᵀ x from every earlier block q < p:
+                # L rows [a, a+nb) hold L[p, q] for all q (zero for q>p,
+                # and the q=p diagonal block is excluded by the [:a] write)
+                def contrib_k(k, acc):
+                    lrow = jnp.swapaxes(
+                        W_ref[pl.ds(a + k, 1), :a, :], 0, 1
+                    )  # (a, 1, Cb)
+                    xrow = Y_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                    return acc + lrow * xrow
+
+                upd = jax.lax.fori_loop(
+                    0, nb, contrib_k, jnp.zeros((a, s, Cb), dtype)
+                )
+                ACC_ref[:a, :, :] = ACC_ref[:a, :, :] - upd
+
+    ACC_ref[:] = F_ref[:]
+    solve_from_acc()
+    X_ref[:] = Y_ref[:]
+
+    # ---- one refinement sweep vs the ORIGINAL operator ------------------
+    def kx_k(k, acc):
+        kcol = K_ref[:, pl.ds(k, 1), :]  # (n, 1, Cb)
+        xrow = Y_ref[pl.ds(k, 1), :, :]  # (1, s, Cb)
+        return acc + kcol * xrow
+
+    KX = jax.lax.fori_loop(0, n, kx_k, jnp.zeros((n, s, Cb), dtype))
+    ACC_ref[:] = F_ref[:] - KX
+    solve_from_acc()
+    X_ref[:] = X_ref[:] + Y_ref[:]
+
+
+def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
+                     interpret=None):
+    """Direct solve of the batched SPD systems ``Ks X = Fs`` with one
+    refinement sweep, fused in VMEM.
+
+    Args:
+        Ks: (C, n, n) pre-scaled SPD operators (batch-major, the
+            assembly's natural layout — transposed to cell-minor here).
+        Fs: (n, s, C) pre-scaled right-hand sides (cell-minor).
+        nb: panel width (n is padded to a multiple internally).
+        interpret: Pallas interpreter toggle (defaults to True off-TPU so
+            CPU tests cover the kernel, same convention as ops/dia.py).
+
+    Returns X (n, s, C) cell-minor.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    C, n, _ = Ks.shape
+    s = Fs.shape[1]
+    dtype = Fs.dtype
+
+    n_pad = (-n) % nb
+    npad = n + n_pad
+    Km = jnp.moveaxis(Ks, 0, -1)  # (n, n, C) cell-minor
+    if n_pad:
+        # decoupled identity tail rows keep the padded system SPD and the
+        # leading solution unchanged (same construction as _pad_spd)
+        Km = jnp.pad(Km, ((0, n_pad), (0, n_pad), (0, 0)))
+        tail = jnp.arange(n, npad)
+        Km = Km.at[tail, tail, :].add(1.0)
+        Fm = jnp.pad(Fs, ((0, n_pad), (0, 0), (0, 0)))
+    else:
+        Fm = Fs
+
+    # cell padding: identity systems with zero RHS
+    Cb = fused_chol_block(n, nb)
+    if Cb == 0:
+        raise ValueError(
+            f"fused_chol_solve: n={n} working set exceeds the VMEM budget"
+        )
+    Cb = min(Cb, max(32, 1 << (C - 1).bit_length()))
+    c_pad = (-C) % Cb
+    if c_pad:
+        eye = jnp.eye(npad, dtype=dtype)[:, :, None]
+        Km = jnp.concatenate(
+            [Km, jnp.broadcast_to(eye, (npad, npad, c_pad))], axis=-1
+        )
+        Fm = jnp.pad(Fm, ((0, 0), (0, 0), (0, c_pad)))
+    nblk = (C + c_pad) // Cb
+    npan = npad // nb
+
+    kern = functools.partial(
+        _chol_kernel, n=npad, s=s, nb=nb, eps=float(eps)
+    )
+    z = np.int32(0)
+    X = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((npad, npad, Cb), lambda i: (z, z, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, s, Cb), lambda i: (z, z, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((npad, s, Cb), lambda i: (z, z, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, s, C + c_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((npad, npad, Cb), dtype),  # W: in-place factor
+            pltpu.VMEM((npan, nb, nb, Cb), dtype),  # Di: Lpp^{-1} blocks
+            pltpu.VMEM((npad, s, Cb), dtype),  # ACC
+            pltpu.VMEM((npad, s, Cb), dtype),  # Y
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(Km, Fm)
+    return X[:n, :, :C]

@@ -1,0 +1,111 @@
+"""Fused Pallas factor+solve kernel (ops/chol_kernel.py): interpret-mode
+equivalence against the XLA blocked path, engine-route parity, and the
+custom_linear_solve gradient wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hommx_tpu import create_unit_square
+from hommx_tpu.micro.engine import MicroEngine
+from hommx_tpu.ops.batched_chol import blocked_solve_spd
+from hommx_tpu.ops.chol_kernel import fused_chol_block, fused_chol_solve
+from tests.utils import hooke_tensor
+
+
+def _spd_batch(rng, C, n, s, dtype=jnp.float32):
+    A = rng.standard_normal((C, n, n))
+    K = np.einsum("cij,ckj->cik", A, A) + n * np.eye(n)[None]
+    F = rng.standard_normal((C, n, s))
+    return jnp.asarray(K, dtype), jnp.asarray(F, dtype)
+
+
+@pytest.mark.parametrize("C,n,s", [(5, 40, 3), (3, 64, 6), (9, 33, 2)])
+def test_fused_chol_matches_exact(C, n, s):
+    rng = np.random.default_rng(0)
+    K, F = _spd_batch(rng, C, n, s)
+    Fm = jnp.moveaxis(F, 0, -1)  # (n, s, C)
+    X = np.moveaxis(np.asarray(fused_chol_solve(K, Fm)), -1, 0)
+    Xe = np.linalg.solve(np.asarray(K, np.float64), np.asarray(F, np.float64))
+    err = np.abs(X - Xe).max() / np.abs(Xe).max()
+    assert err < 5e-6, err
+    # and against the XLA blocked path it replaces
+    Xb = np.asarray(blocked_solve_spd(K, F, nb=32))
+    errb = np.abs(X - Xb).max() / np.abs(Xb).max()
+    assert errb < 5e-6, errb
+
+
+def test_fused_chol_block_budget():
+    assert fused_chol_block(192) == 128
+    assert fused_chol_block(192 * 10) == 0  # too big for VMEM -> fallback
+
+
+def _engine_and_problem():
+    mu = lambda x, y: jnp.where(
+        (y[0] - 0.5) ** 2 + (y[1] - 0.5) ** 2 < 0.09,
+        50.0 * (1.0 + 0.2 * x[0]),
+        0.5 + 0.3 * jnp.sin(2 * jnp.pi * y[1]),
+    )
+    A_el = hooke_tensor(2, mu, lambda x, y: 1.0)
+    mesh = create_unit_square(5, 5)
+    centers = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (6, 2)), dtype=jnp.float32
+    )
+    return A_el, mesh, centers
+
+
+def test_engine_chol_kernel_route_matches_xla(monkeypatch):
+    """With the gate forced on (interpret-mode Pallas on CPU), the chunk
+    Cholesky route must reproduce the XLA blocked/cho_factor path."""
+    A_el, mesh, centers = _engine_and_problem()
+
+    def run(force):
+        eng = MicroEngine(
+            mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float32,
+            solver="cholesky",
+        )
+        if force:
+            monkeypatch.setattr(
+                MicroEngine, "_use_chol_kernel", lambda self, n: True
+            )
+        else:
+            monkeypatch.setenv("HOMMX_CHOL_KERNEL", "xla")
+        return np.asarray(
+            eng.tensors_for_centers(A_el, centers, chunk=6)
+        )
+
+    ref = run(False)
+    out = run(True)
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 5e-6, err
+
+
+def test_engine_chol_kernel_gradient(monkeypatch):
+    """custom_linear_solve wiring: jax.grad through the kernel route
+    matches the natively-differentiated XLA route."""
+    A_el, mesh, centers = _engine_and_problem()
+
+    def loss_fn(force):
+        eng = MicroEngine(
+            mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float32,
+            solver="cholesky",
+        )
+        if force:
+            monkeypatch.setattr(
+                MicroEngine, "_use_chol_kernel", lambda self, n: True
+            )
+        else:
+            monkeypatch.setenv("HOMMX_CHOL_KERNEL", "xla")
+
+        def loss(p):
+            mu = lambda x, y: 1.0 + p * (x[0] + y[0] * y[1])
+            A = hooke_tensor(2, mu, lambda x, y: 1.0)
+            out = eng.tensors_for_centers(A, centers, chunk=6)
+            return jnp.sum(out**2)
+
+        return jax.grad(loss)(jnp.float32(0.5))
+
+    g_ref = float(loss_fn(False))
+    g_ker = float(loss_fn(True))
+    assert abs(g_ker - g_ref) / abs(g_ref) < 1e-3, (g_ker, g_ref)
