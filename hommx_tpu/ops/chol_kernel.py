@@ -83,6 +83,21 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
     Cb = F_ref.shape[-1]
     epsv = jnp.asarray(eps, dtype)
     iota_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+    # all loop counters must be explicit int32: under the package's x64
+    # default lax.fori_loop's static-trip-count path creates an int64
+    # counter REGARDLESS of the bound dtypes, and Mosaic's int64->int32
+    # _convert_helper recurses infinitely.  A while_loop with an i32
+    # carry keeps the whole index chain 32-bit.
+    i32 = np.int32
+
+    def loop32(hi, body, init):
+        def wbody(st):
+            k, val = st
+            return k + i32(1), body(k, val)
+
+        return jax.lax.while_loop(
+            lambda st: st[0] < i32(hi), wbody, (i32(0), init)
+        )[1]
 
     W_ref[:] = K_ref[:]
 
@@ -97,53 +112,59 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
                 jnp.maximum(W_ref[pl.ds(a + j, 1), pl.ds(a + j, 1), :], epsv)
             )  # (1, 1, Cb)
             col = W_ref[a:a + nb, pl.ds(a + j, 1), :] / piv  # (nb, 1, Cb)
-            col = jnp.where(iota_nb >= j, col, 0.0)
+            # typed zeros, not Python 0.0: the weak-typed literal sends
+            # jax's convert_element_type into infinite recursion when
+            # traced for the Mosaic (non-interpret) lowering
+            col = jnp.where(iota_nb >= j, col, jnp.zeros_like(col))
             W_ref[a:a + nb, pl.ds(a + j, 1), :] = col
             # rank-1 update of the remaining columns (> j) only — the
             # already-written L columns must not be touched
+            colT = jnp.swapaxes(col, 0, 1)
             colT = jnp.where(
                 jnp.swapaxes(iota_nb, 0, 1) > j,
-                jnp.swapaxes(col, 0, 1),
-                0.0,
+                colT,
+                jnp.zeros_like(colT),
             )  # (1, nb, Cb)
             W_ref[a:a + nb, a:a + nb, :] = (
                 W_ref[a:a + nb, a:a + nb, :] - col * colT
             )
-            return 0
+            return i32(0)
 
-        jax.lax.fori_loop(0, nb, chol_j, 0)
+        loop32(nb, chol_j, i32(0))
 
-        # Lpp^{-1} by a forward Gauss-Jordan sweep into Di[p]
-        Di_ref[p] = jnp.broadcast_to(
-            jnp.eye(nb, dtype=dtype)[:, :, None], (nb, nb, Cb)
+        # Lpp^{-1} by a forward Gauss-Jordan sweep into Di[p].  The
+        # identity is built from int32 iotas: jnp.eye's int64 iota (under
+        # the package's x64 default) hard-aborts Mosaic's layout pass.
+        rr = jax.lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
+        Di_ref[i32(p)] = jnp.broadcast_to(
+            (rr == cc).astype(dtype), (nb, nb, Cb)
         )
 
         def gj_k(k, _):
             piv = W_ref[pl.ds(a + k, 1), pl.ds(a + k, 1), :]  # (1, 1, Cb)
-            xk = Di_ref[p, pl.ds(k, 1), :, :] / piv  # (1, nb, Cb)
-            Di_ref[p, pl.ds(k, 1), :, :] = xk
+            xk = Di_ref[i32(p), pl.ds(k, 1), :, :] / piv  # (1, nb, Cb)
+            Di_ref[i32(p), pl.ds(k, 1), :, :] = xk
+            lcolk = W_ref[a:a + nb, pl.ds(a + k, 1), :]
             colk = jnp.where(
-                iota_nb > k,
-                W_ref[a:a + nb, pl.ds(a + k, 1), :],
-                0.0,
+                iota_nb > k, lcolk, jnp.zeros_like(lcolk)
             )  # (nb, 1, Cb) strictly-below entries of L column k
-            Di_ref[p] = Di_ref[p] - colk * xk
-            return 0
+            Di_ref[i32(p)] = Di_ref[i32(p)] - colk * xk
+            return i32(0)
 
-        jax.lax.fori_loop(0, nb, gj_k, 0)
+        loop32(nb, gj_k, i32(0))
 
         if m > 0:
             # panel solve: Loff = Koff @ Lpp^{-T}, accumulated over k
             def loff_k(k, acc):
                 kcol = W_ref[a + nb:, pl.ds(a + k, 1), :]  # (m, 1, Cb)
                 drow = jnp.swapaxes(
-                    Di_ref[p, :, pl.ds(k, 1), :], 0, 1
+                    Di_ref[i32(p), :, pl.ds(k, 1), :], 0, 1
                 )  # (1, nb, Cb): Dinv column k over j
                 return acc + kcol * drow
 
-            Loff = jax.lax.fori_loop(
-                0, nb, loff_k,
-                jnp.zeros((m, nb, Cb), dtype),
+            Loff = loop32(
+                nb, loff_k, jnp.zeros((m, nb, Cb), dtype)
             )
             W_ref[a + nb:, a:a + nb, :] = Loff
 
@@ -154,9 +175,9 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
                     W_ref[a + nb:, a + nb:, :]
                     - lcol * jnp.swapaxes(lcol, 0, 1)
                 )
-                return 0
+                return i32(0)
 
-            jax.lax.fori_loop(0, nb, schur_k, 0)
+            loop32(nb, schur_k, i32(0))
 
     # ---- two-phase block substitution (rhs in ACC, result in Y) ---------
     def solve_from_acc():
@@ -164,13 +185,11 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
             a = p * nb
 
             def y_k(k, acc):
-                dcol = Di_ref[p, :, pl.ds(k, 1), :]  # (nb, 1, Cb)
+                dcol = Di_ref[i32(p), :, pl.ds(k, 1), :]  # (nb, 1, Cb)
                 rrow = ACC_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
                 return acc + dcol * rrow
 
-            y = jax.lax.fori_loop(
-                0, nb, y_k, jnp.zeros((nb, s, Cb), dtype)
-            )
+            y = loop32(nb, y_k, jnp.zeros((nb, s, Cb), dtype))
             Y_ref[a:a + nb, :, :] = y
             if p + 1 < npan:
 
@@ -179,9 +198,8 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
                     yrow = Y_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
                     return acc + lcol * yrow
 
-                upd = jax.lax.fori_loop(
-                    0, nb, below_k,
-                    jnp.zeros((n - a - nb, s, Cb), dtype),
+                upd = loop32(
+                    nb, below_k, jnp.zeros((n - a - nb, s, Cb), dtype)
                 )
                 ACC_ref[a + nb:, :, :] = ACC_ref[a + nb:, :, :] - upd
         ACC_ref[:] = Y_ref[:]
@@ -190,14 +208,12 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
 
             def x_k(k, acc):
                 drow = jnp.swapaxes(
-                    Di_ref[p, pl.ds(k, 1), :, :], 0, 1
+                    Di_ref[i32(p), pl.ds(k, 1), :, :], 0, 1
                 )  # (nb, 1, Cb): Dinv row k transposed
                 rrow = ACC_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
                 return acc + drow * rrow
 
-            x = jax.lax.fori_loop(
-                0, nb, x_k, jnp.zeros((nb, s, Cb), dtype)
-            )
+            x = loop32(nb, x_k, jnp.zeros((nb, s, Cb), dtype))
             Y_ref[a:a + nb, :, :] = x
             if p > 0:
                 # subtract (L[p, q])ᵀ x from every earlier block q < p:
@@ -210,8 +226,8 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
                     xrow = Y_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
                     return acc + lrow * xrow
 
-                upd = jax.lax.fori_loop(
-                    0, nb, contrib_k, jnp.zeros((a, s, Cb), dtype)
+                upd = loop32(
+                    nb, contrib_k, jnp.zeros((a, s, Cb), dtype)
                 )
                 ACC_ref[:a, :, :] = ACC_ref[:a, :, :] - upd
 
@@ -225,7 +241,7 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
         xrow = Y_ref[pl.ds(k, 1), :, :]  # (1, s, Cb)
         return acc + kcol * xrow
 
-    KX = jax.lax.fori_loop(0, n, kx_k, jnp.zeros((n, s, Cb), dtype))
+    KX = loop32(n, kx_k, jnp.zeros((n, s, Cb), dtype))
     ACC_ref[:] = F_ref[:] - KX
     solve_from_acc()
     X_ref[:] = X_ref[:] + Y_ref[:]
