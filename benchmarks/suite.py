@@ -22,7 +22,14 @@ reduction is explicit.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# the package is used from the source tree (not pip-installed); the
+# per-config subprocesses run with sys.path[0] = benchmarks/, so the repo
+# root must be added explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -85,11 +92,9 @@ def main():
         # first solve; any two of them pass).  Each row is cold-measured
         # anyway, so isolation changes no semantics — and it matches how
         # the driver runs bench.py.
-        import os
         import subprocess
-        import sys
 
-        for k in range(1, 8):
+        for k in range(1, 9):
             cmd = [sys.executable, __file__, "--config", str(k)]
             if args.quick:
                 cmd.append("--quick")
@@ -218,8 +223,11 @@ def main():
         c, s = jnp.cos(gamma), jnp.sin(gamma)
         return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
 
-    def c5(dedup=False):
-        macro = create_box([[0, 0, 0], [1.0, W, 0.1]], [10, 3, 3] if q else [20, 6, 6])
+    def c5(dedup=False, refine=1):
+        macro = create_box(
+            [[0, 0, 0], [1.0, W, 0.1]],
+            [10, 3, 3] if q else [20 * refine, 6 * refine, 6 * refine],
+        )
         micro = create_unit_cube(4)
         s = LinearElasticityStratifiedHMM(
             macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.008]), micro, 2**-5,
@@ -258,6 +266,17 @@ def main():
     if k_only == 7:
         d6 = _run(c6, "2d_poisson_mg_macro_128", 2)
         assert d6["cells"] == (2048 if q else 32768)
+
+    # 7. at-scale ELASTICITY macro (round 3): the rotated-fiber beam
+    # refined 2× per axis — 40×12×12 = 34,560 tets, 20,787 macro dofs >
+    # direct_threshold, so the macro stage takes the f64-assembled CG with
+    # the f32-applied geometric V-cycle preconditioner
+    # (ops/solvers.py::_prec_in_f32) — f64-accurate at-scale elasticity,
+    # the regime the reference runs as mpirun + GAMG.  Default solve()
+    # path (dedup collapses the 34,560 cells to the distinct rotation
+    # classes, shown via unique_cells).
+    if k_only == 8:
+        _run(lambda: c5(dedup=True, refine=2), "3d_beam_40x12x12_mg_f64", 12)
 
 
 if __name__ == "__main__":

@@ -99,17 +99,19 @@ def assemble_macro_system(sys, A_star, b, mask, bvals, *, bs, macro_f64):
     )
 
 
-def macro_precs(sys, options, f64: bool = False):
+def macro_precs(sys, options):
     """(mg, amg) preconditioner structures for the iterative macro path —
-    (None, None) when the solve is certainly direct (or on the f64 direct
-    path) or the options exclude multigrid, so the lazy hierarchy builds
-    never run for solves that cannot use them."""
+    (None, None) when the solve is certainly direct or the options exclude
+    multigrid, so the lazy hierarchy builds never run for solves that
+    cannot use them.  f64 iterative systems (elasticity above the direct
+    threshold) DO get the hierarchy: the V-cycle preconditioner runs in
+    f32 on TPU while the Krylov loop stays f64 (ops/solvers.py)."""
     method = options.method
     if method == "auto":
         method = (
             "direct" if sys.V.num_dofs <= options.direct_threshold else "cg"
         )
-    if f64 or method != "cg" or options.pc not in ("auto", "mg"):
+    if method != "cg" or options.pc not in ("auto", "mg"):
         return None, None
     return sys.mg, sys.amg
 

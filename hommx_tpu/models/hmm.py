@@ -188,7 +188,14 @@ class BaseHMM:
                 if self._V_macro.num_dofs <= self._options_global.direct_threshold
                 else "cg"
             )
-        self._macro_f64 = m == "direct"
+        self._macro_method = m
+        # f64 also covers ITERATIVE elasticity (above direct_threshold):
+        # a vector macro system's κ~1e7 makes f32 matrix storage alone a
+        # percent-level error, so the CG path assembles in f64 (double-f32
+        # on TPU) and runs an f64 PCG whose V-cycle preconditioner is
+        # applied in f32 (ops/solvers.py) — preconditioner precision
+        # affects only the iteration count, never the attainable accuracy.
+        self._macro_f64 = m == "direct" or self._V_macro.bs > 1
         self._macro_jit = None
         self._tensor_jit = None
         self._a0_jit = None
@@ -414,7 +421,7 @@ class BaseHMM:
         if self._nan_jit is None:
             self._nan_jit = jax.jit(lambda a: jnp.isnan(a).any(axis=(1, 2)))
         nan_cells = np.array([], dtype=np.int64)
-        if not self._macro_f64:
+        if self._macro_method != "direct":
             nan_cells = np.nonzero(np.asarray(self._nan_jit(A_star)))[0]
             if nan_cells.size:
                 logger.error(
@@ -542,7 +549,7 @@ class BaseHMM:
             # stage (assemble + mixed-precision direct solve) fuses into ONE
             # program — each separate jitted call costs ~25-30 ms fixed
             # dispatch latency through the axon tunnel.
-            if self._macro_f64:
+            if self._macro_method == "direct":
 
                 def _fused(A_star, mask, bvals, b):
                     vals_bc, b_bc = self._macro_assemble(A_star, mask, bvals, b)
@@ -632,9 +639,11 @@ class BaseHMM:
 
     def _use_sharded_macro(self) -> bool:
         """Sharded macro CG applies when: a mesh is set, the solve is on the
-        iterative path (the tiny direct-path systems stay replicated, like
-        the reference's sub-communicator direct solves), and the DIA halo
-        structure admits row sharding."""
+        f32 iterative path (the tiny direct-path systems stay replicated,
+        like the reference's sub-communicator direct solves, and the f64
+        iterative elasticity path keeps a replicated macro solve — its
+        dominant cost, the micro stage, is sharded either way), and the DIA
+        halo structure admits row sharding."""
         if self._shard_mesh is None or self._macro_f64:
             return False
         from hommx_tpu.parallel.macro import can_shard_macro
@@ -643,7 +652,7 @@ class BaseHMM:
 
     def _macro_solve(self, vals_bc, b_bc):
         sys = self._sys
-        mg, amg = macro_precs(sys, self._options_global, f64=self._macro_f64)
+        mg, amg = macro_precs(sys, self._options_global)
         if self._use_sharded_macro():
             from hommx_tpu.parallel.macro import make_sharded_solver
 
@@ -763,13 +772,12 @@ class BaseHMM:
             from hommx_tpu.parallel.macro import make_sharded_solver
 
             _implicit_solve = make_sharded_solver(
-                shard_mesh, sys.dia, sys.cols, options,
-                mg=None if macro_f64 else sys.mg,
+                shard_mesh, sys.dia, sys.cols, options, mg=sys.mg
             )
         else:
             from hommx_tpu.ops.solvers import make_implicit_solver
 
-            _mg, _amg = macro_precs(sys, options, f64=macro_f64)
+            _mg, _amg = macro_precs(sys, options)
             _solve_x = make_implicit_solver(
                 sys.cols, options, dia=sys.dia, mg=_mg, amg=_amg
             )

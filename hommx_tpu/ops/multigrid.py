@@ -686,6 +686,22 @@ def mg_setup(struct: MGStructure, fine_vals):
             # one dense matvec per cycle.  CPU (f64 test path) keeps the
             # Cholesky inverse.
             n = dense.shape[0]
+            # f32 robustness: past κ·eps_f32 ≈ 1 the f32 inverse of the raw
+            # bottom matrix breaks down (Cholesky NaNs; Newton–Schulz loses
+            # the low modes) — equilibrate and apply the same
+            # 4e-6·Gershgorin diagonal shift as the mixed-precision direct
+            # path (ops/solvers.py::_mixed_refine_ell).  The V-cycle is a
+            # preconditioner, so the perturbation costs iterations, never
+            # attainable accuracy; the f64 (CPU parity) path is unchanged.
+            sc = None
+            if dense.dtype == jnp.float32:
+                dg = jnp.einsum("ii->i", dense)
+                sc = jnp.where(
+                    dg > 0, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0
+                )
+                dense = sc[:, None] * dense * sc[None, :]
+                gersh = jnp.max(jnp.sum(jnp.abs(dense), axis=1))
+                dense = dense + (4e-6 * gersh) * jnp.eye(n, dtype=dense.dtype)
             if jax.default_backend() in ("tpu", "axon"):
                 eye = jnp.eye(n, dtype=bvals.dtype)
                 l1 = jnp.max(jnp.sum(jnp.abs(dense), axis=0))
@@ -700,6 +716,8 @@ def mg_setup(struct: MGStructure, fine_vals):
                 binv = jax.scipy.linalg.cho_solve(
                     cho, jnp.eye(n, dtype=bvals.dtype)
                 )
+            if sc is not None:
+                binv = sc[:, None] * binv * sc[None, :]
             state.append({"bvals": bvals, "zmask": zm, "binv": binv})
             break
         v0 = jnp.asarray(lev.power_vec, dtype=bvals.dtype)

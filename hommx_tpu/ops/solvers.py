@@ -312,6 +312,34 @@ def implicit_wrap(solve_fn, cols):
     return solve
 
 
+def _prec_in_f32(dtype) -> bool:
+    """Whether an f64 Krylov loop should apply its V-cycle preconditioner
+    in f32.
+
+    Preconditioner precision changes only the ITERATION COUNT of PCG, never
+    the attainable accuracy (the residual/solution recursions stay f64);
+    the cast preconditioner is still a fixed SPD linear operator, so PCG
+    theory applies unchanged.  On TPU — where f64 arithmetic is emulated at
+    ~10× cost — this makes the f64 macro path for at-scale elasticity
+    (κ~1e7 systems above ``direct_threshold``) pay f64 only for the cheap
+    SpMV + vector updates while the smoothing/coarse-grid work runs at
+    native f32 speed.  Native-f64 backends (CPU) keep the f64 V-cycle.
+
+    ``HOMMX_MG_PREC`` (trace-time): ``"f32"`` forces the cast (CPU tests
+    verify the exact mixed program the TPU runs), ``"native"`` disables it.
+    """
+    import os
+
+    if dtype != jnp.float64:
+        return False
+    mode = os.environ.get("HOMMX_MG_PREC", "auto")
+    if mode == "f32":
+        return True
+    if mode == "native":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
     """Dispatch on SolverOptions: 'direct', 'cg', or 'auto'.
 
@@ -335,10 +363,17 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
         from hommx_tpu.ops.amg import amg_setup, amg_vcycle
 
         matvec = lambda v: spmv(vals, cols, v)
-        state = amg_setup(amg, vals)
+        if _prec_in_f32(b.dtype):
+            state = amg_setup(amg, vals.astype(jnp.float32))
+            prec = lambda r: amg_vcycle(
+                amg, state, r.astype(jnp.float32)
+            ).astype(b.dtype)
+        else:
+            state = amg_setup(amg, vals)
+            prec = lambda r: amg_vcycle(amg, state, r)
         return pcg_prec(
             matvec,
-            lambda r: amg_vcycle(amg, state, r),
+            prec,
             b,
             atol=options.atol,
             rtol=options.rtol,
@@ -367,10 +402,17 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
         if mg is not None and options.pc in ("auto", "mg"):
             from hommx_tpu.ops.multigrid import mg_setup, mg_vcycle
 
-            state = mg_setup(mg, dvals)
+            if _prec_in_f32(b.dtype):
+                state = mg_setup(mg, dvals.astype(jnp.float32))
+                prec = lambda r: mg_vcycle(
+                    mg, state, r.astype(jnp.float32)
+                ).astype(b.dtype)
+            else:
+                state = mg_setup(mg, dvals)
+                prec = lambda r: mg_vcycle(mg, state, r)
             return pcg_prec(
                 matvec,
-                lambda r: mg_vcycle(mg, state, r),
+                prec,
                 b,
                 atol=options.atol,
                 rtol=options.rtol,
