@@ -1146,8 +1146,8 @@ class MicroEngine:
                 stencil_astar(stencil, stencil_ws, a, E, F, X)
                 / self.volume_Y
             )
-        elif densek_chunk:
-            # Same exact bilinear expansion on the materialized Kc:
+        elif densek_chunk and self._bilinear_astar():
+            # Bilinear expansion on the materialized Kc:
             #   ΦᵀĀΦ = EᵀĀE − FᵀX − XᵀF + XᵀKX
             # (F = −D₂ᵀTᵀĀE and K = D₂ᵀTᵀĀTD₂; X vanishes on pinned dofs,
             # so XᵀKcX = XᵀKX despite the identity pin rows).  Replaces the
@@ -1155,9 +1155,16 @@ class MicroEngine:
             # lays out with the tiny r/s dims on the (8,128) tile at ~19-25×
             # padding (measured 85 ms of the 204 ms rotated-fiber micro
             # stage) — with one Kc matvec and three (s, s, C)-sized dots.
-            # Identical for any iterate X, so the implicit-VJP/clamping
-            # semantics are unchanged (clamped zero columns give EᵀĀE, the
-            # zero-corrector tensor, as before).
+            # Identical for any iterate X in exact arithmetic; in f32 the
+            # terms cancel at zero-corrector-energy scale, which LOOKS
+            # dangerous at high contrast but was measured harmless: on the
+            # rotated-fiber beam cells (contrast 1e5, f64 ground truth)
+            # both forms land within 7e-7 relative — bilinear max 6.8e-7,
+            # Φ quadratic form max 6.2e-7 (A/B in docs/performance.md).
+            # The 4e-5 beam-checksum move when this landed is the macro
+            # solve amplifying an equally-accurate-but-different f32 A*,
+            # not a precision loss.  ``HOMMX_ASTAR=phi`` opts back into the
+            # cancellation-free quadratic form as a diagnostic.
             KX = jnp.einsum("cnm,msc->nsc", Kc, X)
             XtF = jnp.einsum("nsc,nmc->csm", X, F)
             XtKX = jnp.einsum("nsc,nmc->csm", X, KX)
@@ -1310,6 +1317,18 @@ class MicroEngine:
         from hommx_tpu.ops.chol_kernel import fused_chol_block
 
         return fused_chol_block(n) > 0
+
+    def _bilinear_astar(self) -> bool:
+        """Whether the dense-K chunk route contracts A* by the bilinear
+        expansion EᵀĀE − FᵀX − XᵀF + XᵀKX (default: faster, no (nE, r, s, C)
+        gradient-field intermediates) instead of the Φᵀ Ā Φ quadratic form
+        (``HOMMX_ASTAR=phi``, diagnostic opt-out).  The expansion's f32
+        cancellation was A/B-verified harmless against f64 ground truth on
+        the contrast-1e5 rotated-fiber cells: both forms within 7e-7
+        relative (docs/performance.md, "A* contraction accuracy")."""
+        import os
+
+        return os.environ.get("HOMMX_ASTAR", "bilinear") == "bilinear"
 
     def _use_pallas_pcg(self) -> bool:
         """Route the stencil chunk-PCG through the fused Pallas kernel

@@ -468,12 +468,24 @@ def build_amg_structure(
     return AMGStructure(bs, tuple(levels), smoothed=smoothed)
 
 
-def _dense_inverse(dense):
+def _dense_inverse(dense, f32_guard: bool = False):
     """Symmetrized dense inverse — Newton–Schulz on TPU (pure matmuls;
     triangular solves are latency-bound there), Cholesky elsewhere.  Same
-    trade as the geometric bottom level (ops/multigrid.py)."""
+    trade as the geometric bottom level (ops/multigrid.py).  With
+    ``f32_guard`` an f32 bottom matrix is equilibrated and shifted by
+    4e-6·Gershgorin before inversion — the f64-Krylov cast path's defense
+    against κ·eps_f32 breakdown (see multigrid.mg_setup)."""
     dense = 0.5 * (dense + dense.T)
     n = dense.shape[0]
+    sc = None
+    if f32_guard and dense.dtype == jnp.float32:
+        dg = jnp.einsum("ii->i", dense)
+        sc = jnp.where(dg > 0, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0)
+        dense = sc[:, None] * dense * sc[None, :]
+        gersh = jnp.max(jnp.sum(jnp.abs(dense), axis=1))
+        dense = dense + (4e-6 * gersh) * jnp.eye(n, dtype=dense.dtype)
+        inv = _dense_inverse(dense)
+        return sc[:, None] * inv * sc[None, :]
     if jax.default_backend() in ("tpu", "axon"):
         eye = jnp.eye(n, dtype=dense.dtype)
         l1 = jnp.max(jnp.sum(jnp.abs(dense), axis=0))
@@ -487,7 +499,7 @@ def _dense_inverse(dense):
     return jax.scipy.linalg.cho_solve(cho, jnp.eye(n, dtype=dense.dtype))
 
 
-def amg_setup(struct: AMGStructure, vals):
+def amg_setup(struct: AMGStructure, vals, f32_bottom_guard: bool = False):
     """Traced per-operator setup: Galerkin values per level, smoother data,
     bottom inverse.  On smoothed hierarchies each level additionally forms
     the traced P values (one scatter over the static pattern) and runs the
@@ -495,6 +507,8 @@ def amg_setup(struct: AMGStructure, vals):
 
     Args:
         vals: (N·K,) BC-applied ELL values of the fine operator.
+        f32_bottom_guard: harden the f32 bottom inverse for the f64-Krylov
+            cast path (see multigrid.mg_setup).
     """
     from hommx_tpu.ops.multigrid import _smoother  # noqa: F401 (doc anchor)
     from hommx_tpu.ops.sparse import ell_to_dense, spmv
@@ -512,7 +526,12 @@ def amg_setup(struct: AMGStructure, vals):
         zmask = (offdiag > 0).astype(v.dtype)
         if li == struct.num_levels - 1:
             dense = ell_to_dense(v, cols_j)
-            state.append({"zmask": zmask, "binv": _dense_inverse(dense)})
+            state.append(
+                {
+                    "zmask": zmask,
+                    "binv": _dense_inverse(dense, f32_guard=f32_bottom_guard),
+                }
+            )
             break
         dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
         papply = lambda r, dinv=dinv: dinv * r

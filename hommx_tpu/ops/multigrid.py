@@ -649,7 +649,7 @@ def _dense_from_stencil(bvals, lev: _Level, bs: int):
     return dense.reshape(n, n)
 
 
-def mg_setup(struct: MGStructure, fine_vals):
+def mg_setup(struct: MGStructure, fine_vals, f32_bottom_guard: bool = False):
     """Per-operator traced setup: Galerkin hierarchy, smoother blocks, λmax
     estimates, bottom inverse.
 
@@ -657,6 +657,14 @@ def mg_setup(struct: MGStructure, fine_vals):
         struct: static hierarchy from build_mg_structure.
         fine_vals: (n_offsets, N) DIA values of the BC-applied fine operator
             (``ell_vals_to_dia`` output).
+        f32_bottom_guard: harden the f32 bottom-level inverse against
+            κ·eps_f32 breakdown (equilibrate + 4e-6·Gershgorin shift) — set
+            by the f64-Krylov path that casts its V-cycle to f32
+            (ops/solvers.py::_prec_in_f32), where the fine operator can be
+            arbitrarily ill-conditioned.  Off by default so native-f32
+            solves (which the pipeline only routes well-conditioned-enough
+            systems onto) keep their exact previous behavior and iteration
+            counts.
     Returns a pytree consumed by :func:`mg_vcycle`.
     """
     bs = struct.bs
@@ -694,7 +702,7 @@ def mg_setup(struct: MGStructure, fine_vals):
             # preconditioner, so the perturbation costs iterations, never
             # attainable accuracy; the f64 (CPU parity) path is unchanged.
             sc = None
-            if dense.dtype == jnp.float32:
+            if f32_bottom_guard and dense.dtype == jnp.float32:
                 dg = jnp.einsum("ii->i", dense)
                 sc = jnp.where(
                     dg > 0, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0

@@ -364,7 +364,9 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
 
         matvec = lambda v: spmv(vals, cols, v)
         if _prec_in_f32(b.dtype):
-            state = amg_setup(amg, vals.astype(jnp.float32))
+            state = amg_setup(
+                amg, vals.astype(jnp.float32), f32_bottom_guard=True
+            )
             prec = lambda r: amg_vcycle(
                 amg, state, r.astype(jnp.float32)
             ).astype(b.dtype)
@@ -403,7 +405,9 @@ def solve_ell(vals, cols, b, options, dia=None, mg=None, amg=None):
             from hommx_tpu.ops.multigrid import mg_setup, mg_vcycle
 
             if _prec_in_f32(b.dtype):
-                state = mg_setup(mg, dvals.astype(jnp.float32))
+                state = mg_setup(
+                    mg, dvals.astype(jnp.float32), f32_bottom_guard=True
+                )
                 prec = lambda r: mg_vcycle(
                     mg, state, r.astype(jnp.float32)
                 ).astype(b.dtype)

@@ -225,3 +225,43 @@ def test_kron_map_cache_survives_retrace():
     a = np.asarray(f1(centers))  # first trace populates the cache
     b = np.asarray(f2(centers))  # second trace must not see a tracer
     assert np.allclose(a, b, rtol=1e-10)
+
+
+def test_astar_phi_optout_matches_bilinear(monkeypatch):
+    """``HOMMX_ASTAR=phi`` (the cancellation-free diagnostic contraction,
+    micro/engine.py::_bilinear_astar) must agree with the default bilinear
+    expansion on the dense-K chunk route — in f64 the two are exact
+    reassociations of Phi' Abar Phi, so they pin each other to solver
+    tolerance.  Covers both the per-cell strain map (G_fn) and the plain
+    route, so the phi branch's apply_map(B_Phi, .) composition stays
+    exercised."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    mu = lambda x, y: jnp.where(
+        (y[0] - 0.5) ** 2 + (y[1] - 0.5) ** 2 < 0.09, 20.0, 0.5
+    ) * (1.0 + 0.2 * x[0])
+    A_el = hooke_tensor(2, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.3 * x[1]
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, s], [-s, c]]).T
+
+    mesh = create_unit_square(5, 5)
+    centers = jnp.asarray(np.random.default_rng(11).uniform(0, 1, (6, 2)))
+
+    def run(astar, **kw):
+        monkeypatch.setenv("HOMMX_ASTAR", astar)
+        eng = MicroEngine(
+            mesh, bs=2, coeff_kind="tensor4", dtype=jnp.float64,
+            solver="pcg", pcg_strategy="densek",
+        )
+        return np.asarray(
+            eng.tensors_for_centers(A_el, centers, chunk=6, **kw)
+        )
+
+    for kw in (dict(), dict(G_fn=G_fn)):
+        bil = run("bilinear", **kw)
+        phi = run("phi", **kw)
+        err = np.abs(phi - bil).max() / np.abs(bil).max()
+        assert err < 1e-8, (kw, err)
