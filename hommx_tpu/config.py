@@ -79,10 +79,6 @@ def default_dtype() -> jnp.dtype:
     return jnp.float64
 
 
-def index_dtype() -> jnp.dtype:
-    return jnp.int32
-
-
 def host_setup():
     """Context manager pinning eager setup computation to the CPU backend.
 

@@ -13,7 +13,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import sys
 
 import numpy as np
 

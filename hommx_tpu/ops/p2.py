@@ -19,7 +19,6 @@ Gradients: âˆ‡Ï†_i = (4Î»_i âˆ’ 1)âˆ‡Î»_i, âˆ‡Ï†_(ij) = 4(Î»_i âˆ‡Î»_j + Î»_j âˆ
 
 from __future__ import annotations
 
-import itertools
 
 import jax.numpy as jnp
 import numpy as np
