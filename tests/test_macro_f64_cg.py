@@ -76,6 +76,36 @@ def test_f64_cg_with_f32_vcycle_reaches_f64(monkeypatch):
     assert int(k32) < 100
 
 
+def test_f64_cg_with_f32_amg_vcycle_reaches_f64(monkeypatch):
+    """The UNSTRUCTURED analogue of the f32-V-cycle gate: an f64 Delaunay
+    system above the direct cap takes the aggregation-AMG branch of
+    ``solve_ell``; with the forced f32 cast (``amg_setup(...,
+    f32_bottom_guard=True)``) it must still match the native-f64 direct
+    solve to f64 level."""
+    from tests.test_amg import _delaunay_mesh, _system as _amg_system
+
+    mesh = _delaunay_mesh(72)  # 5329 dofs > direct_threshold
+    _, sys, vals_bc, b_bc = _amg_system(mesh)
+    assert b_bc.dtype == jnp.float64 and sys.mg is None
+    x_ref = dense_solve_ell(vals_bc, sys.cols, b_bc)
+
+    opts = SolverOptions(method="cg", maxiter=3000)
+    mg, amg = macro_precs(sys, opts)
+    assert mg is None and amg is not None
+
+    monkeypatch.setenv("HOMMX_MG_PREC", "f32")
+    x32, k32, _ = solve_ell(vals_bc, sys.cols, b_bc, opts, amg=amg)
+    monkeypatch.setenv("HOMMX_MG_PREC", "native")
+    x64, k64, _ = solve_ell(vals_bc, sys.cols, b_bc, opts, amg=amg)
+
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    assert float(jnp.max(jnp.abs(x32 - x_ref))) < 1e-9 * scale
+    assert float(jnp.max(jnp.abs(x64 - x_ref))) < 1e-9 * scale
+    # the cast costs only iterations, bounded like the structured case
+    assert int(k64) < 100
+    assert int(k32) < 100
+
+
 def test_elasticity_hmm_cg_route_matches_direct(monkeypatch):
     """End-to-end: an elasticity HMM forced onto the CG macro route takes
     the f64 assembly + f64 PCG + f32 V-cycle path and reproduces the
