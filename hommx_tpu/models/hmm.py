@@ -51,7 +51,7 @@ from hommx_tpu.ops.function_space import (
 )
 from hommx_tpu.ops.solvers import solve_ell
 from hommx_tpu.ops.sparse import ell_to_dense
-from hommx_tpu.utils.options import SolverOptions
+from hommx_tpu.utils.options import SolverOptions, cell_problem_engine_kwargs
 
 __all__ = [
     "BaseHMM",
@@ -159,13 +159,18 @@ class BaseHMM:
         self._V_macro = FunctionSpace(msh, bs)
         self._sys = MacroSystem(self._V_macro, self._dtype)
         kind = self._coeff_kind()
+        # cell-problem solver options reach the micro engine (reference
+        # parity: petsc_options_cell_problem is wired into every corrector
+        # solve, hmm.py:153-155,424); explicit engine_kwargs win
+        cell_kw = cell_problem_engine_kwargs(options_cell_problem)
+        cell_kw.update(engine_kwargs or {})
         self._engine = MicroEngine(
             msh_micro,
             bs=bs,
             coeff_kind=kind,
             quad_degree=quad_degree_micro,
             dtype=self._dtype,
-            **(engine_kwargs or {}),
+            **cell_kw,
         )
         self._f_fn = _as_source(f, bs)
         self._bcs: list[DirichletBC] = []

@@ -29,7 +29,7 @@ from hommx_tpu.ops.assembly import apply_dirichlet, assemble_ell, assemble_load_
 from hommx_tpu.ops.function_space import DirichletBC, Function, FunctionSpace
 from hommx_tpu.ops.solvers import solve_ell
 from hommx_tpu.ops.sparse import ell_to_dense
-from hommx_tpu.utils.options import SolverOptions
+from hommx_tpu.utils.options import SolverOptions, cell_problem_engine_kwargs
 
 __all__ = ["BasePeriodicHMM", "PoissonPeriodicHMM", "ElasticityPeriodicHMM"]
 
@@ -78,12 +78,16 @@ class BasePeriodicHMM:
         self._V_macro = FunctionSpace(msh, bs)
         self._V_micro = FunctionSpace(msh_micro, bs)
         kind = probe_coeff_kind(A, self._tdim, nargs=1)
+        # cell-problem solver options reach the micro engine (reference
+        # parity, hmm.py:1102-1103: default {"ksp_atol": 1e-12} cell opts)
+        cell_kw = cell_problem_engine_kwargs(options_cell_problem)
         self._engine = MicroEngine(
             msh_micro,
             bs=bs,
             coeff_kind=kind,
             quad_degree=quad_degree_micro,
             dtype=self._dtype,
+            **cell_kw,
         )
         self._f_fn = _as_source(f, bs)
         self._bcs: list[DirichletBC] = []

@@ -16,7 +16,7 @@ from typing import Optional, Union
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["SolverOptions"]
+__all__ = ["SolverOptions", "cell_problem_engine_kwargs"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,3 +84,81 @@ def _from_petsc_dict(d: dict, default: Optional[SolverOptions]) -> SolverOptions
         else:
             logger.warning("SolverOptions: ignoring unknown PETSc option %r", key)
     return dataclasses.replace(base, **kw)
+
+
+def cell_problem_engine_kwargs(
+    opts: Union[SolverOptions, dict, None]
+) -> dict:
+    """Translate cell-problem solver options into ``MicroEngine`` kwargs.
+
+    The reference plumbs ``petsc_options_cell_problem`` into every
+    corrector KSP solve (reference ``hmm.py:70-72,153-155,424``; its
+    flagship example passes ``{"ksp_atol": 1e-9}``,
+    ``examples/hmm.py:35``).  Here the same intent maps onto the batched
+    micro engine:
+
+    - ``ksp_atol`` / ``ksp_rtol`` (or ``SolverOptions.atol``/``rtol``) →
+      ``pcg_tol``.  The engine's chunk PCG stops on the RELATIVE residual
+      (with a stall exit at the dtype-attainable floor), so a tolerance
+      below what the working dtype can reach converges to the attainable
+      floor rather than spinning.  When both are given the tighter wins.
+    - ``ksp_max_it`` / ``maxiter`` → ``pcg_maxiter``.
+    - ``ksp_type`` ``preonly`` / ``pc_type`` ``lu`` → ``solver='cholesky'``
+      (batched direct); ``ksp_type`` ``cg``/``gmres`` → ``solver='pcg'``.
+    - multigrid-ish ``pc_type`` values are accepted silently — the
+      engine's shared-K₀/FFT preconditioners play that role.
+
+    Only EXPLICITLY-SET fields are mapped (a plain ``SolverOptions()`` or
+    ``None`` returns ``{}``), so the engine's tuned per-dtype defaults
+    survive when the user passes nothing.  ``engine_kwargs`` entries win
+    over this translation (expert overrides).
+    """
+    if opts is None:
+        return {}
+    kw: dict = {}
+    if isinstance(opts, SolverOptions):
+        base = SolverOptions()
+        tol = None
+        if opts.rtol != base.rtol:
+            tol = float(opts.rtol)
+        if opts.atol != base.atol:
+            a = float(opts.atol)
+            tol = a if tol is None else min(tol, a)
+        if tol is not None:
+            kw["pcg_tol"] = tol
+        if opts.maxiter != base.maxiter:
+            kw["pcg_maxiter"] = int(opts.maxiter)
+        if opts.method == "direct":
+            kw["solver"] = "cholesky"
+        elif opts.method == "cg":
+            kw["solver"] = "pcg"
+        return kw
+    if isinstance(opts, dict):
+        for key, val in opts.items():
+            if key in ("ksp_atol", "ksp_rtol"):
+                t = float(val)
+                kw["pcg_tol"] = min(kw.get("pcg_tol", t), t)
+            elif key == "ksp_max_it":
+                kw["pcg_maxiter"] = int(val)
+            elif key == "ksp_type":
+                if val == "preonly":
+                    kw["solver"] = "cholesky"
+                elif val in ("cg", "gmres"):
+                    kw["solver"] = "pcg"
+            elif key == "pc_type":
+                if val == "lu":
+                    kw["solver"] = "cholesky"
+                elif val in ("jacobi", "none", "gamg", "mg", "hypre"):
+                    pass  # engine preconditioners cover these roles
+                else:
+                    logger.warning(
+                        "cell problem options: ignoring pc_type=%r", val
+                    )
+            elif key == "pc_factor_mat_solver_type":
+                kw["solver"] = "cholesky"
+            else:
+                logger.warning(
+                    "cell problem options: ignoring unknown option %r", key
+                )
+        return kw
+    raise TypeError(f"cannot build engine kwargs from {type(opts)}")
