@@ -1314,9 +1314,14 @@ class MicroEngine:
                 return False
         except Exception:  # pragma: no cover
             return False
-        from hommx_tpu.ops.chol_kernel import fused_chol_block
+        from hommx_tpu.ops.chol_kernel import fused_chol_block, probe_compile
 
-        return fused_chol_block(n) > 0
+        if fused_chol_block(n) <= 0:
+            return False
+        # fail fast on toolchains where the Mosaic compile is pathological
+        # (round-3 verdict: the opt-in otherwise hangs the session >25 min)
+        probe_compile(n, self.s)
+        return True
 
     def _bilinear_astar(self) -> bool:
         """Whether the dense-K chunk route contracts A* by the bilinear

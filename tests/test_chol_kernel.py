@@ -109,3 +109,35 @@ def test_engine_chol_kernel_gradient(monkeypatch):
     g_ref = float(loss_fn(False))
     g_ker = float(loss_fn(True))
     assert abs(g_ker - g_ref) / abs(g_ref) < 1e-3, (g_ker, g_ref)
+
+
+def test_probe_compile_success_and_cache():
+    """The compile probe succeeds on a healthy toolchain (CPU interpret
+    path here) and caches per size."""
+    from hommx_tpu.ops import chol_kernel as ck
+
+    ck._probe_ok.clear()
+    ck.probe_compile(8, 3, timeout_s=120)
+    assert ck._probe_ok[(8, 3)]
+    ck.probe_compile(8, 3, timeout_s=0.001)  # cached: no recompile, no timeout
+
+
+def test_probe_compile_times_out_with_clear_error(monkeypatch):
+    """A pathological Mosaic compile must fail in seconds with a message
+    naming the env knob (round-3 verdict item 8)."""
+    import time
+
+    import pytest
+
+    from hommx_tpu.ops import chol_kernel as ck
+
+    def hang(Ks, Fs, nb=32, eps=1e-30, interpret=None):
+        time.sleep(30)
+
+    monkeypatch.setattr(ck, "fused_chol_solve", hang)
+    ck._probe_ok.clear()
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="HOMMX_CHOL_KERNEL"):
+        ck.probe_compile(16, 3, timeout_s=0.3)
+    assert time.time() - t0 < 5.0
+    ck._probe_ok.clear()
