@@ -90,6 +90,7 @@ class BaseHMM:
         engine_kwargs: Optional[dict] = None,
         shard_mesh=None,
         dedup_cells: bool = True,
+        dedup_verify: int = 0,
         # reference-compat aliases
         petsc_options_global_solve: Optional[dict] = None,
         petsc_options_cell_problem: Optional[dict] = None,
@@ -132,6 +133,16 @@ class BaseHMM:
                 micro solver; for the lockstep chunk PCG results can move
                 within solver tolerance (chunk composition changes).
                 ``diagnostics["unique_cells"]`` records the class count.
+            dedup_verify: opt-in dedup audit — re-solve up to this many
+                random NON-representative class members and assert their
+                tensors match their class representative.  The dedup key
+                is 16 f32 random projections of the solve inputs: bitwise-
+                equal inputs always land in one class, and a collision
+                between genuinely distinct cells (probability ~2⁻³⁸⁴ per
+                pair for non-adversarial data, but never zero) would
+                silently reuse the wrong tensor; the audit catches it at
+                the cost of k extra cell solves.  Raises RuntimeError on
+                disagreement beyond solver tolerance.
         """
         if msh.dim not in (2, 3):
             raise ValueError("Topology should be 3D or 2D")
@@ -151,6 +162,7 @@ class BaseHMM:
         self._quad_degree_rhs = quad_degree_rhs
         self._shard_mesh = shard_mesh
         self._dedup_cells = bool(dedup_cells)
+        self._dedup_verify = int(dedup_verify)
         self._n_unique: Optional[int] = None
         self._fp_jit = None
         self._dedup_cache = False  # False = not yet computed (None is valid)
@@ -268,10 +280,49 @@ class BaseHMM:
                 A_u = jax.block_until_ready(
                     self._tensor_jit(centers[jnp.asarray(rep)])
                 )
+                if self._dedup_verify > 0:
+                    self._audit_dedup(centers, rep, inverse, A_u)
                 self._A_star = A_u[jnp.asarray(inverse)]
             else:
                 self._A_star = jax.block_until_ready(self._tensor_jit(centers))
         return self._A_star
+
+    def _audit_dedup(self, centers, rep, inverse, A_u):
+        """Dedup audit (``dedup_verify=k``): re-solve up to k random
+        non-representative class members and compare against their class
+        representative's tensor.  A fingerprint collision between distinct
+        cells would produce a order-of-magnitude disagreement, far above
+        the solver-tolerance threshold used here (members are bitwise-
+        identical inputs, so a legitimate re-solve agrees to solver
+        accuracy — exactly for the direct micro solver, within PCG
+        tolerance for the chunk paths, whose lockstep composition
+        changes with the audit batch)."""
+        rng = np.random.default_rng(0xA0D17)
+        members = np.setdiff1d(
+            np.arange(centers.shape[0]), np.asarray(rep)
+        )
+        if members.size == 0:
+            return
+        k = min(self._dedup_verify, int(members.size))
+        sample = rng.choice(members, size=k, replace=False)
+        A_resolved = jax.block_until_ready(
+            self._tensor_jit(centers[jnp.asarray(sample)])
+        )
+        A_claimed = A_u[jnp.asarray(np.asarray(inverse)[sample])]
+        tol = 1e-4 if jnp.dtype(self._dtype) == jnp.float32 else 1e-8
+        scale = jnp.max(jnp.abs(A_u))
+        diff = jnp.max(jnp.abs(A_resolved - A_claimed)) / (scale + 1e-300)
+        if not bool(diff < tol):
+            raise RuntimeError(
+                f"dedup audit failed: re-solved class members disagree with "
+                f"their representatives (rel {float(diff):.2e} > {tol:.0e}) "
+                f"— fingerprint collision between distinct cell problems; "
+                f"re-run with dedup_cells=False"
+            )
+        logger.info(
+            "dedup audit: %d re-solved members agree (rel %.2e)",
+            k, float(diff),
+        )
 
     def _dedup_classes(self, centers):
         """Exact-duplicate classes of the cell batch: (rep_indices,
@@ -703,6 +754,16 @@ class BaseHMM:
         Returns: (step_fn, example_centers).  ``centers`` must have static
         shape (num_cells, dim); with shard_map, num_cells must divide the
         device count evenly.
+
+        Note: the pipeline does NOT deduplicate cell problems (dedup
+        requires a data-dependent host-side class structure, which a pure
+        traced program cannot carry) — every cell is solved on every call.
+        On heavily structured configurations where ``solve()`` collapses
+        the batch (the rotated-fiber beam is 18 unique problems among
+        4320 cells), the pipeline therefore does up to that factor more
+        micro work per step than ``solve()``; it is the right tool when
+        differentiating or scanning over coefficients, where the inputs
+        change every call and dedup would not help anyway.
         """
         engine = self._engine
         sys = self._sys
