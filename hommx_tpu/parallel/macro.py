@@ -28,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-__all__ = ["sharded_solve_dia", "can_shard_macro", "make_sharded_solver"]
+__all__ = [
+    "sharded_solve_dia",
+    "sharded_solve_ell",
+    "can_shard_macro",
+    "can_shard_macro_ell",
+    "make_sharded_solver",
+]
 
 
 def _shard_map():
@@ -47,6 +53,117 @@ def can_shard_macro(dia, num_devices: int) -> bool:
     halo = max(max(abs(o) for o in dia.offsets), 1)
     block = -(-dia.num_dofs // num_devices)
     return block > halo
+
+
+def can_shard_macro_ell(num_dofs: int, num_devices: int) -> bool:
+    """Row sharding of the gather-based ELL SpMV needs only one row per
+    device (the matvec all-gathers x, no halo-width constraint)."""
+    return num_devices > 1 and num_dofs >= num_devices
+
+
+def sharded_solve_ell(
+    mesh: Mesh,
+    vals: jnp.ndarray,
+    cols: jnp.ndarray,
+    b: jnp.ndarray,
+    diag: jnp.ndarray,
+    atol: float,
+    rtol: float,
+    maxiter: int,
+    axis: str = None,
+    prec_full=None,
+):
+    """Preconditioned CG with row-sharded ELL storage — the distributed
+    macro solve for UNSTRUCTURED meshes (no DIA structure, so no halo
+    exchange; each matvec all-gathers x — one tiled ICI collective — and
+    gathers its local rows' columns from the replicated vector).  The
+    reference's PETSc runs the same configs distributed under mpirun with
+    VecScatter ghost updates (``hmm.py:144-149,482-483``); on a
+    bandwidth-rich ICI mesh the all-gather of a macro-sized vector is the
+    honest TPU-native equivalent.
+
+    Args mirror :func:`sharded_solve_dia` with (vals, cols) the ELL
+    operator ((N, K) values / column indices; padded slots must multiply
+    exact zeros, as `ops/sparse.py` guarantees).
+    """
+    axis = axis or mesh.axis_names[0]
+    nd = mesh.devices.size
+    N = b.shape[0]
+    K = cols.shape[1]
+    vals = vals.reshape(N, K)  # ELL values may arrive flat (N·K,)
+    block = -(-N // nd)
+    n_pad = block * nd - N
+
+    # identity padding rows with zero rhs (self-referencing columns)
+    pad_vals = jnp.zeros((n_pad, K), dtype=vals.dtype)
+    pad_vals = pad_vals.at[:, 0].set(1.0)
+    pad_cols = jnp.broadcast_to(
+        jnp.arange(N, N + n_pad, dtype=cols.dtype)[:, None], (n_pad, K)
+    )
+    vals_p = jnp.concatenate([vals, pad_vals], axis=0)
+    cols_p = jnp.concatenate([cols, pad_cols], axis=0)
+    b_p = jnp.pad(b, (0, n_pad))
+    diag_p = jnp.pad(diag, (0, n_pad), constant_values=1.0)
+
+    def pdot(u, v):
+        return jax.lax.psum(jnp.vdot(u, v), axis)
+
+    spec_r = PartitionSpec(axis, None)
+    spec_x = PartitionSpec(axis)
+
+    @partial(
+        _shard_map(),
+        mesh=mesh,
+        in_specs=(spec_r, spec_r, spec_x, spec_x),
+        out_specs=(spec_x, PartitionSpec(), PartitionSpec()),
+    )
+    def run(vals_l, cols_l, b_l, diag_l):
+        def matvec_local(x_l):
+            x_g = jax.lax.all_gather(x_l, axis, tiled=True)  # (N + pad,)
+            return jnp.sum(vals_l * x_g[cols_l], axis=1)
+
+        dinv = jnp.where(jnp.abs(diag_l) > 0, 1.0 / diag_l, 1.0)
+        if prec_full is None:
+            prec = lambda r_l: dinv * r_l
+        else:
+
+            def prec(r_l):
+                r_g = jax.lax.all_gather(r_l, axis, tiled=True)
+                z_g = jnp.pad(prec_full(r_g[:N]), (0, n_pad))
+                i = jax.lax.axis_index(axis)
+                return jax.lax.dynamic_slice(z_g, (i * block,), (block,))
+
+        x = jnp.zeros_like(b_l)
+        r = b_l
+        z = prec(r)
+        p = z
+        rz = pdot(r, z)
+        bnorm = jnp.sqrt(pdot(b_l, b_l))
+        tol = jnp.maximum(atol, rtol * bnorm)
+
+        def cond(state):
+            x, r, p, rz, k = state
+            return jnp.logical_and(jnp.sqrt(pdot(r, r)) > tol, k < maxiter)
+
+        def body(state):
+            x, r, p, rz, k = state
+            Ap = matvec_local(p)
+            alpha = rz / pdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = pdot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return x, r, p, rz_new, k + 1
+
+        x, r, p, rz, k = jax.lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.array(0))
+        )
+        return x, k, jnp.sqrt(pdot(r, r))
+
+    x_p, iters, res = run(vals_p, cols_p, b_p, diag_p)
+    return x_p[:N], iters, res
 
 
 def sharded_solve_dia(
@@ -174,34 +291,76 @@ def sharded_solve_dia(
     return x_p[:N], iters, res
 
 
-def make_sharded_solver(mesh, dia, cols, options, mg=None):
+def make_sharded_solver(mesh, dia, cols, options, mg=None, amg=None):
     """Build the full distributed macro solve ``solve(vals_bc, b_bc) ->
     (x, iters, res)`` from BC-applied ELL values: DIA conversion, optional
-    geometric-multigrid preconditioning (the V-cycle applied replicated —
-    see sharded_solve_dia's prec_full), the row-sharded psum-CG, and the
-    implicit-function-theorem VJP (ops/solvers.py::implicit_wrap), which
-    makes the SHARDED pipeline differentiable end-to-end like the
-    replicated one.
+    geometric-multigrid OR aggregation-AMG preconditioning (the V-cycle
+    applied replicated — see sharded_solve_dia's prec_full), the
+    row-sharded psum-CG, and the implicit-function-theorem VJP
+    (ops/solvers.py::implicit_wrap), which makes the SHARDED pipeline
+    differentiable end-to-end like the replicated one.
+
+    f64 systems (the at-scale elasticity macro path) are supported: the
+    Krylov loop — SpMV, axpys, psum dot products — runs sharded in f64,
+    while the V-cycle preconditioner is applied in f32 on TPU exactly like
+    the replicated path (ops/solvers.py::_prec_in_f32 — preconditioner
+    precision costs iterations, never attainable accuracy).
 
     This is the composition the reference gets from one PETSc options dict:
     ``{"ksp_type": "cg", "pc_type": "gamg"}`` runs multigrid-preconditioned
-    CG distributed over COMM_WORLD (reference
+    CG distributed over COMM_WORLD for EVERY config — elasticity and
+    unstructured meshes included (reference
     ``examples/linear_elasticity/rotated_fibers.py:98`` with
     ``hmm.py:157,482-483``).
     """
     from hommx_tpu.ops.dia import ell_vals_to_dia
-    from hommx_tpu.ops.solvers import _ell_diag, implicit_wrap
+    from hommx_tpu.ops.solvers import _ell_diag, _prec_in_f32, implicit_wrap
 
     use_mg = mg is not None and options.pc in ("auto", "mg")
+    use_amg = mg is None and amg is not None and options.pc in ("auto", "mg")
 
     def solve_full(vals_bc, b_bc):
-        dvals = ell_vals_to_dia(dia, vals_bc)
+        dvals = None if dia is None else ell_vals_to_dia(dia, vals_bc)
         prec_full = None
+        f32 = jnp.float32
         if use_mg:
             from hommx_tpu.ops.multigrid import mg_setup, mg_vcycle
 
-            state = mg_setup(mg, dvals)
-            prec_full = lambda r: mg_vcycle(mg, state, r)
+            if _prec_in_f32(b_bc.dtype):
+                state = mg_setup(
+                    mg, dvals.astype(f32), f32_bottom_guard=True
+                )
+                prec_full = lambda r: mg_vcycle(
+                    mg, state, r.astype(f32)
+                ).astype(b_bc.dtype)
+            else:
+                state = mg_setup(mg, dvals)
+                prec_full = lambda r: mg_vcycle(mg, state, r)
+        elif use_amg:
+            from hommx_tpu.ops.amg import amg_setup, amg_vcycle
+
+            if _prec_in_f32(b_bc.dtype):
+                state = amg_setup(
+                    amg, vals_bc.astype(f32), f32_bottom_guard=True
+                )
+                prec_full = lambda r: amg_vcycle(
+                    amg, state, r.astype(f32)
+                ).astype(b_bc.dtype)
+            else:
+                state = amg_setup(amg, vals_bc)
+                prec_full = lambda r: amg_vcycle(amg, state, r)
+        if dia is None:
+            return sharded_solve_ell(
+                mesh,
+                vals_bc,
+                jnp.asarray(cols),
+                b_bc,
+                _ell_diag(vals_bc, cols),
+                options.atol,
+                options.rtol,
+                options.maxiter,
+                prec_full=prec_full,
+            )
         return sharded_solve_dia(
             mesh,
             dia,

@@ -282,3 +282,126 @@ def test_shard_mesh_class_api():
         u_sh = hmm_s.solve()
         err = float(jnp.max(jnp.abs(u_ref.array - u_sh.array)))
         assert err < 1e-9, (opts, err)
+
+
+def test_sharded_macro_f64_elasticity_matches_replicated():
+    """Round-4 verdict item 3: the f64 iterative elasticity macro (the
+    at-scale regime — κ~1e7 vector systems assembled in f64) now routes
+    through the row-sharded psum-CG instead of bailing to a replicated
+    solve.  PETSc GAMG+CG is distributed for EVERY config under mpirun
+    (``rotated_fibers.py:98`` + ``hmm.py:157,482-483``)."""
+    from jax.sharding import Mesh
+
+    from hommx_tpu import LinearElasticityStratifiedHMM, create_box, dirichletbc
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.options import SolverOptions
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    mesh_dev = Mesh(np.array(jax.devices()), ("cells",))
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 20.0, 0.05)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+    W = 0.4
+
+    def Dt3(x):
+        g = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    macro = create_box([[0, 0, 0], [1.0, W, 0.1]], [16, 3, 2])
+    from hommx_tpu import create_unit_cube
+
+    micro = create_unit_cube(2)
+    f = lambda x: jnp.array([0.0, 0.0, -0.01])
+    opts = SolverOptions(method="cg", rtol=1e-11)
+
+    def run(shard):
+        h = LinearElasticityStratifiedHMM(
+            macro, A_el, f, micro, 2**-5, Dt3,
+            options_global_solve=opts,
+            shard_mesh=mesh_dev if shard else None,
+        )
+        h.set_boundary_conditions(
+            dirichletbc(
+                np.zeros(3),
+                boundary_dofs(h.function_space, lambda x: np.isclose(x[0], 0)),
+                h.function_space,
+            )
+        )
+        u = h.solve()
+        return u, h
+
+    u_r, h_r = run(False)
+    u_s, h_s = run(True)
+    assert h_s._macro_f64 and h_s._macro_method == "cg"
+    assert h_s._use_sharded_macro()
+    rel = float(jnp.max(jnp.abs(u_s.array - u_r.array))) / float(
+        jnp.max(jnp.abs(u_r.array))
+    )
+    assert rel < 1e-8, rel
+
+
+def test_sharded_macro_amg_unstructured_matches_replicated():
+    """Round-4 verdict item 3: a sharded UNSTRUCTURED macro system (no DIA
+    structure → all-gather ELL SpMV) runs AMG-preconditioned psum-CG and
+    matches the replicated AMG-PCG — previously it degraded to Jacobi."""
+    from scipy.spatial import Delaunay
+
+    from hommx_tpu.meshes.simplex import mesh_from_delaunay
+    from hommx_tpu.models.common import MacroSystem, merge_bcs
+    from hommx_tpu.models.fem import _load_vector, fem_assemble_values
+    from hommx_tpu.ops.amg import amg_setup, amg_vcycle
+    from hommx_tpu.ops.assembly import apply_dirichlet
+    from hommx_tpu.ops.function_space import (
+        FunctionSpace,
+        dirichletbc,
+        locate_dofs_geometrical,
+    )
+    from hommx_tpu.ops.solvers import _ell_diag, pcg_prec
+    from hommx_tpu.ops.sparse import spmv
+    from hommx_tpu.parallel.macro import (
+        can_shard_macro_ell,
+        sharded_solve_ell,
+    )
+
+    mesh_dev = device_mesh()
+    rng = np.random.default_rng(3)
+    m = 72  # AMG declines tiny systems (below its bottom size)
+    edge = np.linspace(0, 1, m)
+    ring = np.concatenate(
+        [
+            np.stack([edge, np.zeros(m)], 1),
+            np.stack([edge, np.ones(m)], 1),
+            np.stack([np.zeros(m - 2), edge[1:-1]], 1),
+            np.stack([np.ones(m - 2), edge[1:-1]], 1),
+        ]
+    )
+    pts = np.concatenate([ring, rng.uniform(0.02, 0.98, (m * m - ring.shape[0], 2))])
+    tri = Delaunay(pts)
+    msh = mesh_from_delaunay(pts, tri.simplices)
+    V = FunctionSpace(msh, 1)
+    sys = MacroSystem(V, jnp.float64)
+    assert sys.dia is None and sys.amg is not None
+    vals = fem_assemble_values(
+        sys, lambda x: 1.0 + 0.5 * jnp.sin(3 * x[0]) * x[1], "scalar", 2
+    )
+    b = _load_vector(sys, lambda x: jnp.asarray(1.0), 2)
+    dofs = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 0.0))
+    mask, bvals = merge_bcs([dirichletbc(0.0, dofs, V)], V.num_dofs, jnp.float64)
+    vals_bc, b_bc = apply_dirichlet(
+        vals, sys.cols, sys.diag_slots, b, mask, bvals, dia=sys.dia
+    )
+    assert can_shard_macro_ell(V.num_dofs, 8)
+    state = amg_setup(sys.amg, vals_bc)
+    vcycle = lambda r: amg_vcycle(sys.amg, state, r)
+    diag = _ell_diag(vals_bc, sys.cols)
+    x_s, it_s, _ = sharded_solve_ell(
+        mesh_dev, vals_bc, jnp.asarray(sys.cols), b_bc, diag,
+        0.0, 1e-10, 200, prec_full=vcycle,
+    )
+    x_r, it_r, _ = pcg_prec(
+        lambda v: spmv(vals_bc, sys.cols, v), vcycle, b_bc,
+        atol=0.0, rtol=1e-10, maxiter=200,
+    )
+    assert float(jnp.max(jnp.abs(x_s - x_r))) < 1e-8
+    assert abs(int(it_s) - int(it_r)) <= 1
+    assert int(it_s) < 40  # AMG-class, not Jacobi, iteration counts
