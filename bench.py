@@ -18,7 +18,11 @@ the throughput an arbitrary ``A(x, y)`` gets.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 1e5 (the v5e-8 target; this runs on however many
-chips are visible).
+chips are visible).  The headline stays the 2D-scalar steady-state rate;
+``extra_rows`` carries the 3D-scalar and 3D-elasticity (x-dependent
+stiff-fiber, the reference's flagship workload class) medians so the
+driver captures regressions on the vector and 3D paths every round
+(round-3 verdict item 5).
 """
 
 import json
@@ -144,8 +148,88 @@ def main():
         "spread_pct": round(
             100.0 * (max(times) - min(times)) / dt, 1
         ),
+        "extra_rows": _extra_rows(on_tpu, dtype),
     }
     print(json.dumps(result))
+
+
+def _measure(engine, coeff, G_fn, n_cells, dim, chunk, dtype, reps):
+    """Median-of-reps fresh-input steady-state rate for one engine config."""
+    rng = np.random.default_rng(1)
+    run = jax.jit(
+        lambda c: engine.tensors_for_centers(coeff, c, G_fn=G_fn, chunk=chunk)
+    )
+    batches = [
+        jnp.asarray(rng.uniform(0, 1, size=(n_cells, dim)), dtype=dtype)
+        for _ in range(reps + 1)
+    ]
+    _ = float(jnp.sum(run(batches[0])))
+    times, checksums = [], []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        checksums.append(float(jnp.sum(run(batches[i + 1]))))
+        times.append(time.perf_counter() - t0)
+    assert len(set(checksums)) == reps, "reps produced identical results"
+    dt = float(np.median(times))
+    return {
+        "value": round(n_cells * engine.s / dt, 1),
+        "unit": "solves/s",
+        "reps_ms": [round(t * 1e3, 1) for t in times],
+        "spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1),
+    }
+
+
+def _extra_rows(on_tpu, dtype):
+    """3D-scalar and 3D-elasticity steady-state rows (driver-captured so
+    the vector/3D paths cannot regress silently)."""
+    from hommx_tpu.meshes import create_unit_cube
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    rows = []
+    reps = 3 if on_tpu else 1
+
+    # 3D scalar: 8^3 unit cell (n_red = 512), x-dependent coefficient
+    eng3 = MicroEngine(
+        create_unit_cube(8), bs=1, coeff_kind="scalar", quad_degree=2,
+        dtype=dtype,
+    )
+    coeff3 = lambda x, y: 1.1 + x[0] + jnp.sin(2 * jnp.pi * y[0]) * jnp.cos(
+        2 * jnp.pi * y[2]
+    )
+    n3 = 131072 if on_tpu else 64
+    r = _measure(eng3, coeff3, None, n3, 3, 2048 if on_tpu else 32,
+                 dtype, reps)
+    r["metric"] = "micro_scalar3d_solves_per_sec"
+    rows.append(r)
+
+    # 3D elasticity: the rotated-stiff-fiber beam class (x-dependent Hooke
+    # coefficient AND x-dependent rotation — nothing constant-folds, no
+    # dedup), 4^3 unit cell, Voigt s=6 generator solves per cell
+    def circle(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < (2 * jnp.pi) ** 2 / 16
+
+    mu = lambda x, y: jnp.where(
+        circle(y[1], y[2]), 100.0 * (1.0 + 0.001 * x[0]), 0.001
+    )
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.5 * jnp.pi * x[1] / 0.4
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    eng_el = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", quad_degree=2,
+        dtype=dtype,
+    )
+    nel = 8640 if on_tpu else 24
+    r = _measure(eng_el, A_el, G_fn, nel, 3, 4320 if on_tpu else 24,
+                 dtype, reps)
+    r["metric"] = "micro_elasticity3d_solves_per_sec"
+    rows.append(r)
+    return rows
 
 
 if __name__ == "__main__":

@@ -466,3 +466,96 @@ def test_dedup_audit_passes_and_catches_collisions(monkeypatch):
     monkeypatch.setattr(BaseHMM, "_dedup_classes", colliding)
     with pytest.raises(RuntimeError, match="collision"):
         h2.solve()
+
+
+def _stiff_fiber_3d():
+    def circle(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < (2 * jnp.pi) ** 2 / 16
+
+    mu = lambda x, y: jnp.where(
+        circle(y[1], y[2]), 100.0 * (1.0 + 0.001 * x[0]), 0.001
+    )
+    return hooke_tensor(3, mu, lambda x, y: 1.0)
+
+
+def test_elasticity_matfree_dfree_matches_cholesky():
+    """Round-4 verdict item 1 (scalability half): the D-free matrix-free
+    chunk route — loc2red gathers, scatter diag, scatter K0-diag, FFT
+    block-symbol preconditioner, no dense K0 inverse — is exact against
+    the batched-Cholesky default.  This is the formulation that scales
+    micro resolution (16³ elasticity: n_red = 12288, where the dense
+    per-cell K and the dense K0 inverse are both infeasible)."""
+    from hommx_tpu.utils.validation import hooke_tensor  # noqa: F401
+
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 50.0 * (1 + 0.1 * x[0]), 0.02)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.5 * jnp.pi * x[1] / 0.4
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(rng.uniform(0, 1, (6, 3)))
+    e_ref = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    A_ref = e_ref.tensors_for_centers(A_el, centers, G_fn=G_fn)
+    e_mf = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="matfree", cell_prec="fft",
+        pcg_tol=1e-12, pcg_maxiter=3000,
+    )
+    e_mf.D = None  # force the large-space gather formulation
+    A_mf = e_mf.tensors_for_centers(A_el, centers, G_fn=G_fn)
+    rel = float(jnp.max(jnp.abs(A_mf - A_ref)) / jnp.max(jnp.abs(A_ref)))
+    assert rel < 1e-9, rel
+
+
+def test_k0diag_scatter_matches_assembled():
+    """The scatter-formula diag(K0) (used when n_red > 4096, where the
+    assembled K0 is infeasible) equals the assembled diagonal exactly."""
+    eng = MicroEngine(
+        create_unit_cube(3), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    d_asm = np.asarray(eng._get_K0diag())
+    eng2 = MicroEngine(
+        create_unit_cube(3), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    eng2._K0diag = None
+    eng2._K0inv = None
+    d_sc = np.asarray(eng2._get_K0diag(force_scatter=True))
+    assert np.max(np.abs(d_sc - d_asm)) / np.max(np.abs(d_asm)) < 1e-13
+
+
+@pytest.mark.slow
+def test_elasticity_16cubed_micro_runs():
+    """Round-4 verdict item 1 'done' criterion: a 16³-micro elasticity
+    config RUNS (any speed) — the dense-Cholesky default cannot (per-cell
+    dense K at n_red = 12288 is ~1.2 GB/cell).  Stiff-fiber contrast-1e5
+    coefficient; the FFT-preconditioned matrix-free chunk PCG converges
+    below the iteration cap and yields a physical (stiff-axis dominant,
+    SPD-diagonal) homogenized tensor."""
+    import jax
+
+    from hommx_tpu.utils.validation import hooke_tensor  # noqa: F401
+
+    A_el = _stiff_fiber_3d()
+    eng = MicroEngine(
+        create_unit_cube(16), bs=3, coeff_kind="tensor4",
+        dtype=jnp.float64, solver="pcg", pcg_strategy="matfree",
+        cell_prec="fft", pcg_tol=1e-7, pcg_maxiter=2000,
+    )
+    assert eng.D is None  # the dense shared operator is over its size cap
+    centers = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 3)))
+    A, iters = eng.tensors_chunk_pcg(
+        A_el, centers, with_iters=True, implicit_diff=False
+    )
+    A = jax.device_get(A)
+    assert int(iters) < 2000  # converged, not capped
+    assert np.isfinite(A).all()
+    d = A[0].diagonal()
+    assert d[0] > 1.0 and d[1] < 1.0  # stiff along the fiber, soft across
+    assert (d > 0).all()
