@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""High-resolution micro cells for elasticity: the matrix-free route.
+
+BEYOND the reference: its per-cell PETSc pipeline (and this framework's
+batched direct default) is sized for 4³..8³ unit cells; a 16³ elasticity
+cell has 12,288 reduced dofs, where a dense per-cell operator is ~1.2 GB.
+The matrix-free FFT-preconditioned chunk engine
+(``solver='pcg', pcg_strategy='matfree', cell_prec='fft'``) never forms a
+dense operator or a dense K₀ inverse, so micro resolution scales — here a
+stiff-fiber unit cell is resolved at 16³ and the homogenized tensor
+compared against the 4³/8³ sequence (micro-mesh convergence, the quantity
+the reference cannot refine).
+
+Run: python examples/linear_elasticity/high_res_micro.py [--n 16]
+"""
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from hommx_tpu import create_unit_cube
+from hommx_tpu.micro.engine import MicroEngine
+from hommx_tpu.utils.validation import hooke_tensor
+
+
+def circle_indicator(a, b):
+    da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+    db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+    return (da**2 + db**2) < ((2 * jnp.pi) ** 2 / 16)
+
+
+def mu(x, y):
+    return jnp.where(circle_indicator(y[1], y[2]), 100.0, 0.001)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16, help="finest micro n")
+    args = ap.parse_args()
+
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+    center = jnp.asarray(np.array([[0.5, 0.5, 0.5]]))
+
+    prev = None
+    for n in (4, 8, args.n):
+        t0 = time.perf_counter()
+        if n <= 8:
+            eng = MicroEngine(
+                create_unit_cube(n), bs=3, coeff_kind="tensor4"
+            )  # batched-Cholesky default
+        else:
+            eng = MicroEngine(
+                create_unit_cube(n), bs=3, coeff_kind="tensor4",
+                solver="pcg", pcg_strategy="matfree", cell_prec="fft",
+                pcg_tol=1e-7, pcg_maxiter=4000,
+            )
+        A = np.asarray(eng.tensors_for_centers(A_el, center))[0]
+        dt = time.perf_counter() - t0
+        d = A.diagonal()
+        move = (
+            ""
+            if prev is None
+            else f"  Δ vs previous {np.max(np.abs(A - prev)) / np.max(np.abs(A)):.3e}"
+        )
+        print(
+            f"micro {n:>2}³: A*₁₁ = {d[0]:.4f}, A*₂₂ = {d[4]:.3e} "
+            f"({dt:6.1f} s){move}"
+        )
+        prev = A
+
+
+if __name__ == "__main__":
+    main()

@@ -1703,9 +1703,12 @@ class MicroEngine:
             and jnp.dtype(self.dtype) == jnp.float32
             and self.D is not None
         )
-        if chol_route or (
-            self.solver == "pcg" and use_chunk and self.D is not None
-        ):
+        # the chunk machinery is D-free (round 4): matfree uses loc2red
+        # gathers, densek assembles Kc from the per-element Draw blocks —
+        # so large micro spaces (16³ elasticity, D over its size cap)
+        # route here instead of falling back to the per-cell path, whose
+        # dense-K₀ preconditioner cannot exist at that size
+        if chol_route or (self.solver == "pcg" and use_chunk):
             return _map_chunked(
                 lambda cs: self.tensors_chunk_pcg(
                     coeff, cs, G_fn, with_correctors=with_correctors,
@@ -1734,9 +1737,9 @@ class MicroEngine:
             and self.bs > 1
             and jnp.dtype(self.dtype) == jnp.float32
         )
-        chunk_path = (
-            self.solver == "pcg" or chol_chunk
-        ) and self.D is not None
+        chunk_path = self.solver == "pcg" or (
+            chol_chunk and self.D is not None
+        )
         if chunk_path:
             # the chunk PCG never materializes K; per-cell state is the
             # gradient-field work arrays (nE·r·s) and the (n, s) Krylov
