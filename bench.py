@@ -224,8 +224,11 @@ def _extra_rows(on_tpu, dtype):
         create_unit_cube(4), bs=3, coeff_kind="tensor4", quad_degree=2,
         dtype=dtype,
     )
+    # chunk sweep on the C=8640 fresh-input workload (round 4, one TPU
+    # session): 720/1080/1440/2160/4320/8640 -> 257/285/274/266/249/216k
+    # solves/s — moderate chunks overlap lax.map iterations best
     nel = 8640 if on_tpu else 24
-    r = _measure(eng_el, A_el, G_fn, nel, 3, 4320 if on_tpu else 24,
+    r = _measure(eng_el, A_el, G_fn, nel, 3, 1080 if on_tpu else 24,
                  dtype, reps)
     r["metric"] = "micro_elasticity3d_solves_per_sec"
     rows.append(r)
