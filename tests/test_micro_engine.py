@@ -559,3 +559,32 @@ def test_elasticity_16cubed_micro_runs():
     d = A[0].diagonal()
     assert d[0] > 1.0 and d[1] < 1.0  # stiff along the fiber, soft across
     assert (d > 0).all()
+
+
+def test_large_space_routes_through_chunk_engine(monkeypatch):
+    """Regression for the round-4 dispatch fix: with the dense shared
+    operator D over its size cap (large micro spaces), ``solver='pcg'``
+    must still route through the D-free CHUNK engine — the per-cell
+    fallback would rebuild the dense K0 inverse inside the trace and
+    fail at exactly the sizes the matrix-free route exists for."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 5.0, 0.5)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+    eng = MicroEngine(
+        create_unit_cube(3), bs=3, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="matfree", cell_prec="fft",
+    )
+    eng.D = None  # simulate the over-cap regime
+    calls = []
+    orig = MicroEngine.tensors_chunk_pcg
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(MicroEngine, "tensors_chunk_pcg", spy)
+    centers = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 3)))
+    out = eng.tensors_for_centers(A_el, centers)
+    assert calls, "large-space pcg must dispatch to the chunk engine"
+    assert np.isfinite(np.asarray(out)).all()
