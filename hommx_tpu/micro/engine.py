@@ -1378,8 +1378,25 @@ class MicroEngine:
             return jnp.transpose(Y, (1, 2, 0)) * sc[:, None, :]
 
         X = solve_scaled(F)
+        if not self._chol_refine():
+            return X
         R = F - jnp.einsum("cnm,msc->nsc", Kc, X)
         return X + solve_scaled(R)
+
+    def _chol_refine(self) -> bool:
+        """Whether the chunk direct solve runs its refinement sweep (one
+        Kc matvec + one extra substitution solve).  Round-4 measurements
+        on the contrast-1e5 stiff-fiber cells: accuracy is at the
+        f32-attainable floor either way (TPU, vs f64 ground truth:
+        4.0e-7 with the sweep, 3.0e-7 without; CPU LAPACK f32: 5.3e-7 vs
+        5.5e-7), and at the tuned chunk size the sweep costs ~nothing
+        (185.2 vs 186.8 ms on the C=8640 beam workload — the lax.map
+        pipeline hides its latency).  Default ON: free robustness for
+        conditioning regimes the measurement does not cover;
+        ``HOMMX_CHOL_REFINE=0`` is the measured opt-out."""
+        import os
+
+        return os.environ.get("HOMMX_CHOL_REFINE", "1") != "0"
 
     def _use_chol_kernel(self, n: int) -> bool:
         """Route the chunk direct solve through the fused Pallas

@@ -282,6 +282,7 @@ def test_astar_phi_optout_matches_bilinear(monkeypatch):
             "HOMMX_MICRO_MATVEC": "matfree",
             "HOMMX_STENCIL_PCG": "xla",
         },
+        {"HOMMX_CHOL_REFINE": "0"},
     ],
     ids=lambda e: "+".join(f"{k.split('_', 1)[1]}={v}" for k, v in e.items()),
 )
