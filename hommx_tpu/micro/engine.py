@@ -687,13 +687,29 @@ class MicroEngine:
                     AD = np.einsum(
                         "rt,etl->erl", Tn.T @ Tn, Draw
                     ) * wsum[:, None, None]
-                dl = np.einsum("erl,erl->el", Draw, AD)
+                l2r = np.asarray(self.loc2red)
                 d0 = np.zeros(self.n_reduced)
-                np.add.at(
-                    d0,
-                    np.asarray(self.loc2red).reshape(-1),
-                    dl.reshape(-1),
+                # per-(element, local-dof) SELF terms cover the diagonal
+                # exactly when no element has two local dofs folded onto
+                # the same reduced dof; a 1-element-wide periodic mesh
+                # aliases them, and the intra-element CROSS terms then
+                # also land on the diagonal (round-4 advisor finding) —
+                # take the exact O(nE·nbl²) pair scatter in that case
+                # (host, setup-only; the degenerate case is tiny anyway)
+                aliased = any(
+                    np.unique(row).size != row.size for row in l2r
                 )
+                if aliased:
+                    vals = np.einsum("erl,erm->elm", Draw, AD)
+                    same = l2r[:, :, None] == l2r[:, None, :]
+                    np.add.at(
+                        d0,
+                        np.broadcast_to(l2r[:, :, None], same.shape)[same],
+                        vals[same],
+                    )
+                else:
+                    dl = np.einsum("erl,erl->el", Draw, AD)
+                    np.add.at(d0, l2r.reshape(-1), dl.reshape(-1))
                 d0[np.asarray(self.pin_mask)] = 1.0
                 self._K0diag = jnp.asarray(d0, dtype=self.dtype)
         return self._K0diag
@@ -1422,10 +1438,12 @@ class MicroEngine:
 
         if fused_chol_block(n) <= 0:
             return False
-        # fail fast on toolchains where the Mosaic compile is pathological
-        # (round-3 verdict: the opt-in otherwise hangs the session >25 min)
-        probe_compile(n, self.s)
-        return True
+        # fall back fast on toolchains where the Mosaic compile is
+        # pathological (round-3 verdict: the opt-in otherwise hangs the
+        # session >25 min); the probe warns and returns False on timeout
+        # so the solve proceeds on the XLA blocked route
+        # (HOMMX_CHOL_KERNEL_STRICT=1 makes the timeout raise instead)
+        return probe_compile(n, self.s)
 
     def _bilinear_astar(self) -> bool:
         """Whether the dense-K chunk route contracts A* by the bilinear

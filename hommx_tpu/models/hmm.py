@@ -309,7 +309,16 @@ class BaseHMM:
             self._tensor_jit(centers[jnp.asarray(sample)])
         )
         A_claimed = A_u[jnp.asarray(np.asarray(inverse)[sample])]
+        # Collision threshold: re-solved members agree to SOLVER accuracy,
+        # so the audit must tolerate the engine's effective tolerance — a
+        # user-loosened iterative solve (cell_problem_engine_kwargs, e.g.
+        # ksp_atol=1e-1) legitimately moves re-solves by ~pcg_tol, and a
+        # fixed dtype threshold would raise a spurious collision error
+        # (round-4 advisor finding).  Fingerprint collisions between
+        # DISTINCT cells disagree at O(1), far above any sane tolerance.
         tol = 1e-4 if jnp.dtype(self._dtype) == jnp.float32 else 1e-8
+        if self._engine.solver == "pcg":
+            tol = max(tol, 10.0 * self._engine.pcg_tol)
         scale = jnp.max(jnp.abs(A_u))
         diff = jnp.max(jnp.abs(A_resolved - A_claimed)) / (scale + 1e-300)
         if not bool(diff < tol):

@@ -57,7 +57,7 @@ _LANES = 128
 _probe_ok: dict = {}
 
 
-def probe_compile(n: int, s: int, timeout_s=None) -> None:
+def probe_compile(n: int, s: int, timeout_s=None) -> bool:
     """Time-bounded Mosaic compile probe for the fused kernel (round-3
     verdict: the opt-in could hang a session for half an hour).
 
@@ -65,24 +65,30 @@ def probe_compile(n: int, s: int, timeout_s=None) -> None:
     pathological on some toolchains (observed >25 min on the current one,
     docs/performance.md "fused factor+solve kernel").  This compiles a
     REAL (non-interpret) instance of the kernel at the requested size on
-    a watchdog thread and raises a clear ``RuntimeError`` after
-    ``timeout_s`` seconds (default 90; ``HOMMX_CHOL_PROBE_TIMEOUT``
-    overrides) instead of letting the user's first solve hang.  On
-    timeout the orphaned compile thread is abandoned (daemon — it keeps a
-    CPU core busy until the compiler returns or the process exits, which
-    is the only portable way to bound a C++ compile from Python).
-    Success is cached per (n, s) for the process, and the compiled
-    executable stays in XLA's in-process cache, so the subsequent real
-    solve does not pay the compile twice.
+    a watchdog thread and returns False after ``timeout_s`` seconds
+    (default 90; ``HOMMX_CHOL_PROBE_TIMEOUT`` overrides) instead of
+    letting the user's first solve hang — the caller falls back to the
+    XLA blocked route, like every other ``_use_chol_kernel`` failure mode
+    (round-4 advisor finding; ``HOMMX_CHOL_KERNEL_STRICT=1`` turns the
+    timeout into the old hard ``RuntimeError`` for users who would rather
+    fail than silently take the ~2x-slower path).  On timeout the
+    orphaned compile thread is abandoned (daemon — it keeps a CPU core
+    busy until the compiler returns or the process exits, which is the
+    only portable way to bound a C++ compile from Python).  A compile
+    ERROR (not a timeout) still raises: that is a broken toolchain, not
+    a slow one.  Success is cached per (n, s) for the process, and the
+    compiled executable stays in XLA's in-process cache, so the
+    subsequent real solve does not pay the compile twice.
     """
     import os
     import threading
+    import warnings
 
     if timeout_s is None:
         timeout_s = float(os.environ.get("HOMMX_CHOL_PROBE_TIMEOUT", "90"))
     key = (int(n), int(s))
     if _probe_ok.get(key):
-        return
+        return True
     box: dict = {}
 
     def work():
@@ -100,20 +106,26 @@ def probe_compile(n: int, s: int, timeout_s=None) -> None:
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        raise RuntimeError(
+        msg = (
             f"HOMMX_CHOL_KERNEL=pallas: the Mosaic compile of the fused "
             f"Cholesky kernel (n={n}, s={s}) did not finish within "
             f"{timeout_s:.0f}s on this toolchain — on known-bad toolchains "
-            f"it takes >25 minutes.  Unset HOMMX_CHOL_KERNEL to use the "
-            f"XLA blocked path (compiles in seconds, within ~2x of the "
-            f"kernel's runtime), or raise HOMMX_CHOL_PROBE_TIMEOUT to "
-            f"wait longer.  (The orphaned compile thread was abandoned.)"
+            f"it takes >25 minutes.  Falling back to the XLA blocked path "
+            f"(compiles in seconds, within ~2x of the kernel's runtime); "
+            f"raise HOMMX_CHOL_PROBE_TIMEOUT to wait longer, or set "
+            f"HOMMX_CHOL_KERNEL_STRICT=1 to make this an error.  (The "
+            f"orphaned compile thread was abandoned.)"
         )
+        if os.environ.get("HOMMX_CHOL_KERNEL_STRICT", "0") == "1":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return False
     if "err" in box:
         raise RuntimeError(
             "HOMMX_CHOL_KERNEL=pallas: fused-kernel compile probe failed"
         ) from box["err"]
     _probe_ok[key] = True
+    return True
 
 
 def fused_chol_available() -> bool:

@@ -316,8 +316,14 @@ def make_sharded_solver(mesh, dia, cols, options, mg=None, amg=None):
     from hommx_tpu.ops.dia import ell_vals_to_dia
     from hommx_tpu.ops.solvers import _ell_diag, _prec_in_f32, implicit_wrap
 
-    use_mg = mg is not None and options.pc in ("auto", "mg")
-    use_amg = mg is None and amg is not None and options.pc in ("auto", "mg")
+    # geometric MG consumes the DIA view (mg is built from sys.dia
+    # elsewhere) — guard the invariant explicitly instead of relying on
+    # callers: mg without dia would dereference a None dvals below
+    # (round-4 advisor finding)
+    use_mg = dia is not None and mg is not None and options.pc in ("auto", "mg")
+    use_amg = (
+        not use_mg and amg is not None and options.pc in ("auto", "mg")
+    )
 
     def solve_full(vals_bc, b_bc):
         dvals = None if dia is None else ell_vals_to_dia(dia, vals_bc)

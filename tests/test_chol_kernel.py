@@ -122,9 +122,12 @@ def test_probe_compile_success_and_cache():
     ck.probe_compile(8, 3, timeout_s=0.001)  # cached: no recompile, no timeout
 
 
-def test_probe_compile_times_out_with_clear_error(monkeypatch):
-    """A pathological Mosaic compile must fail in seconds with a message
-    naming the env knob (round-3 verdict item 8)."""
+def test_probe_compile_times_out_with_fallback(monkeypatch):
+    """A pathological Mosaic compile must resolve in seconds: by default
+    the probe WARNS and returns False (the caller falls back to the XLA
+    blocked route, round-4 advisor finding); HOMMX_CHOL_KERNEL_STRICT=1
+    restores the hard error naming the env knob (round-3 verdict item
+    8)."""
     import time
 
     import pytest
@@ -137,7 +140,11 @@ def test_probe_compile_times_out_with_clear_error(monkeypatch):
     monkeypatch.setattr(ck, "fused_chol_solve", hang)
     ck._probe_ok.clear()
     t0 = time.time()
+    with pytest.warns(RuntimeWarning, match="HOMMX_CHOL_KERNEL"):
+        assert ck.probe_compile(16, 3, timeout_s=0.3) is False
+    assert time.time() - t0 < 5.0
+    monkeypatch.setenv("HOMMX_CHOL_KERNEL_STRICT", "1")
     with pytest.raises(RuntimeError, match="HOMMX_CHOL_KERNEL"):
         ck.probe_compile(16, 3, timeout_s=0.3)
-    assert time.time() - t0 < 5.0
+    assert time.time() - t0 < 10.0
     ck._probe_ok.clear()

@@ -148,6 +148,38 @@ def test_cell_problem_options_reach_micro_engine():
     assert h4._engine.pcg_tol in (1e-5, 1e-11)
 
 
+def test_options_semantic_mappings_are_logged(caplog):
+    """Silent solver-semantics mappings must be visible (round-4 verdict
+    item 6): the reference passes ksp_type/pc_type through to PETSc
+    verbatim (hmm.py:153-168); here gmres maps to CG (all systems are
+    SPD) and that translation has to be said out loud."""
+    import logging
+
+    from hommx_tpu.utils.options import cell_problem_engine_kwargs
+
+    with caplog.at_level(logging.WARNING, logger="hommx_tpu.utils.options"):
+        o = SolverOptions.from_any({"ksp_type": "gmres"})
+    assert o.method == "cg"
+    assert any("gmres" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hommx_tpu.utils.options"):
+        kw = cell_problem_engine_kwargs({"ksp_type": "gmres"})
+    assert kw["solver"] == "pcg"
+    assert any("gmres" in r.message for r in caplog.records)
+
+    # atol-only configs are approximated by the relative pcg_tol — warned
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hommx_tpu.utils.options"):
+        kw = cell_problem_engine_kwargs({"ksp_atol": 1e-9})
+    assert kw["pcg_tol"] == 1e-9
+    assert any("atol" in r.message for r in caplog.records)
+
+    # rtol wins over atol (no dimensionally-inconsistent min-combining)
+    kw = cell_problem_engine_kwargs({"ksp_atol": 1e-12, "ksp_rtol": 1e-6})
+    assert kw["pcg_tol"] == 1e-6
+
+
 def test_cell_problem_tolerance_changes_iterations():
     """A loose micro tolerance must measurably reduce PCG iterations —
     the observable the reference's ksp_atol controls."""
