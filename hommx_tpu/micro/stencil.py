@@ -38,7 +38,13 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["MicroStencil", "build_stencil", "stencil_weights", "stencil_matvec"]
+__all__ = [
+    "MicroStencil",
+    "build_stencil",
+    "stencil_weights",
+    "stencil_matvec",
+    "torus_coords",
+]
 
 # Size gate for the dense matmul formulations: above this many (K·n·nE)
 # entries the dense operators' extra flops/constants outweigh the gather
@@ -69,27 +75,28 @@ class MicroStencil:
     WF: Optional[np.ndarray] = None  # (n, nE, r) dense RHS gradient map
 
 
-def build_stencil(engine) -> Optional[MicroStencil]:
-    """Host-side stencil construction for a MicroEngine, or None.
+def torus_coords(engine):
+    """(shape, coords) of the reduced periodic NODE space as the raster
+    torus grid, or None if the micro mesh is not a structured box whose
+    reduced nodes raster-order onto the grid.
 
-    Requires a structured box micro mesh whose reduced periodic dofs are
-    the raster-ordered torus grid (verified against the representative
-    vertex coordinates), P1 micro elements, and a scalar problem (bs=1).
+    ``shape`` is the grid dims (prod = number of reduced nodes) and
+    ``coords`` is (n_nodes, dim) integer grid coordinates of reduced node
+    p (verified to equal unravel_index(p, shape) — the identity the FFT
+    preconditioner, the stencil matvecs, and the torus multigrid all rely
+    on; re-checked here so an exotic mesh quietly falls back).  bs-aware
+    callers multiply by the block size themselves.
     """
     st = engine.mesh.structure
-    if st is None or engine.micro_degree != 1 or engine.bs != 1:
+    if st is None or engine.micro_degree != 1:
         return None
     shape = tuple(int(x) for x in np.asarray(st.shape))
-    n = engine.n_reduced
-    if int(np.prod(shape)) != n:
+    n_nodes = engine.n_reduced // engine.bs
+    if int(np.prod(shape)) != n_nodes:
         return None
-    dim = engine.d
-    # verify raster ordering: reduced id p must sit at grid coords
-    # unravel_index(p, shape) (the fft preconditioner relies on the same
-    # identity; re-checked here so an exotic mesh quietly falls back)
     red = np.asarray(engine.pmap.reduced_index)
-    first = np.full(n, -1, dtype=np.int64)
-    seen = np.zeros(n, dtype=bool)
+    first = np.full(n_nodes, -1, dtype=np.int64)
+    seen = np.zeros(n_nodes, dtype=bool)
     for v, p in enumerate(red):
         if not seen[p]:
             seen[p] = True
@@ -99,9 +106,27 @@ def build_stencil(engine) -> Optional[MicroStencil]:
     h = (np.asarray(st.hi, dtype=np.float64) - lo) / np.asarray(shape)
     coords = np.rint((verts - lo) / h).astype(np.int64) % np.asarray(shape)
     if not np.array_equal(
-        np.ravel_multi_index(coords.T, shape), np.arange(n)
+        np.ravel_multi_index(coords.T, shape), np.arange(n_nodes)
     ):
         return None
+    return shape, coords
+
+
+def build_stencil(engine) -> Optional[MicroStencil]:
+    """Host-side stencil construction for a MicroEngine, or None.
+
+    Requires a structured box micro mesh whose reduced periodic dofs are
+    the raster-ordered torus grid (verified against the representative
+    vertex coordinates), P1 micro elements, and a scalar problem (bs=1).
+    """
+    if engine.bs != 1:
+        return None
+    tc = torus_coords(engine)
+    if tc is None:
+        return None
+    shape, coords = tc
+    n = engine.n_reduced
+    dim = engine.d
 
     loc2red = np.asarray(engine.loc2red)  # (ne, nbl)
     Draw = np.asarray(engine.Draw, dtype=np.float64)  # (ne, r, nbl)
