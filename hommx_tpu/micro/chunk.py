@@ -197,6 +197,61 @@ def tensors_chunk_pcg(
 
         stencil_ws = stencil_weights(stencil, a, B_K)
 
+    # Block stencil (micro/block_stencil.py, round 5): the vector-problem
+    # analogue of the scalar stencil — (bs, bs) blocks per torus offset.
+    # Replaces the matrix-free expand/weight/reduce matvec on structured
+    # meshes (~40× fewer FLOPs per iteration at 16³ elasticity) and is
+    # the operator form the torus multigrid preconditioner coarsens.
+    bstencil = eng._get_block_stencil() if (
+        not scalar_sep
+        and not densek_chunk
+        and eng.solver == "pcg"
+        and A_K is not None
+    ) else None
+    Wb = None
+    if bstencil is not None:
+        from hommx_tpu.micro.block_stencil import (
+            block_stencil_matvec,
+            block_stencil_weights,
+            scale_block_weights,
+        )
+
+        Wb = block_stencil_weights(bstencil, eng, A_K)
+    if mg_flag:
+        from hommx_tpu.micro.mg_prec import mg_prec, mg_setup
+
+        _mg_src = stencil if scalar_sep else bstencil
+        mg_levels = (
+            eng._get_mg_levels(_mg_src.offsets, _mg_src.shape)
+            if _mg_src is not None
+            else None
+        )
+        if mg_levels is None:
+            raise ValueError(
+                "cell_prec='mg' requires a structured box micro mesh whose "
+                "reduced dofs form the torus grid (P1 micro elements) and "
+                "a nearest-neighbor stencil; use cell_prec='fft' or "
+                "'k0inv' on this configuration"
+            )
+
+        def _mg_weight_stack(sc2=None):
+            # fine-level weights (K, n_nodes, bs, bs, C), scaled when the
+            # PCG runs on the equilibrated system so the prec matches it
+            if scalar_sep:
+                from hommx_tpu.micro.stencil import scale_weights
+
+                ws = (
+                    stencil_ws
+                    if sc2 is None
+                    else scale_weights(stencil, stencil_ws, sc2)
+                )
+                return jnp.stack(ws)[:, :, None, None, :]
+            return (
+                Wb
+                if sc2 is None
+                else scale_block_weights(bstencil, Wb, sc2)
+            )
+
     lowrank = (
         eng.coeff_rank > 0
         and scalar_sep
@@ -255,6 +310,9 @@ def tensors_chunk_pcg(
         if stencil is not None:
             # keep/pin semantics are folded into the weights
             return stencil_matvec(stencil, stencil_ws, P)
+        if Wb is not None:
+            # block stencil: keep/pin folded into the weights too
+            return block_stencil_matvec(bstencil, Wb, P)
         Pk = P * keep
         if lowrank:
             KP = jnp.einsum("knm,msc->knsc", Kb, Pk)
@@ -379,6 +437,8 @@ def tensors_chunk_pcg(
             out = jnp.fft.ifftn(Rh / sym_b, axes=fft_axes).real
             return out.astype(R.dtype).reshape(n, s, C)
 
+    elif mg_flag:
+        prec = None  # V-cycle built below, on the (scaled) stencil weights
     elif not chol_chunk:
         Minv = eng._get_K0inv()
 
@@ -433,7 +493,14 @@ def tensors_chunk_pcg(
             dp = jnp.einsum("cnn->nc", Kc)  # exact diag, free from Kc
             d0p = eng._get_K0diag()
         else:
-            if eng.D is not None:
+            if Wb is not None:
+                # exact diag(K), free from the block stencil's self blocks
+                # (pinned dofs carry the identity there; sc is forced to
+                # 1 at pins below either way)
+                dp = jnp.einsum(
+                    "niic->nic", Wb[bstencil.self_k]
+                ).reshape(n, C)
+            elif eng.D is not None:
                 dp = jnp.einsum(
                     "ern,cert,etn->nc", eng.D, A_K, eng.D
                 )
@@ -463,10 +530,24 @@ def tensors_chunk_pcg(
             inv_sc = 1.0 / sc
             base_prec = prec
             prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
+        elif mg_flag:
+            # The V-cycle is built on the RAW (unscaled) operator and
+            # applied to the scaled system by congruence S⁻¹V(S⁻¹·) —
+            # measured 295 → 143 iterations on the 8³ contrast-1e5 fiber
+            # cell vs coarsening the scaled weights: the diagonal scaling
+            # (factor √contrast across interfaces) distorts exactly the
+            # smooth modes geometric interpolation must capture.
+            mg_state = mg_setup(mg_levels, _mg_weight_stack())
+            base_prec = mg_prec(mg_levels, mg_state, nu=_mg_nu(eng))
+            inv_sc = 1.0 / sc
+            prec_eff = lambda R: inv_sc * base_prec(inv_sc * R)
         else:
             prec_eff = prec
         raw = None
-        if stencil is not None and not fft_prec and eng._use_pallas_pcg():
+        if (
+            stencil is not None and not fft_prec and not mg_flag
+            and eng._use_pallas_pcg()
+        ):
             # fused Pallas PCG (micro/stencil_pcg.py): fold the scaling
             # into the weights and run the whole Krylov loop in VMEM
             from hommx_tpu.micro.stencil import scale_weights
@@ -485,7 +566,12 @@ def tensors_chunk_pcg(
         X = sc * Y
     else:
         raw = None
-        if stencil is not None and not fft_prec and eng._use_pallas_pcg():
+        if mg_flag:
+            mg_state = mg_setup(mg_levels, _mg_weight_stack())
+            prec = mg_prec(mg_levels, mg_state, nu=_mg_nu(eng))
+        elif (
+            stencil is not None and not fft_prec and eng._use_pallas_pcg()
+        ):
             from hommx_tpu.micro.stencil_pcg import stencil_pcg_pallas
 
             raw = lambda B: stencil_pcg_pallas(
@@ -901,3 +987,57 @@ def _get_fft_symbols(eng):
         )
     return eng._fft_syms
 
+
+def _get_block_stencil(eng):
+    """Cached block stencil (micro/block_stencil.py), or None.
+
+    Available for vector/tensor P1 problems on structured box micro
+    meshes whose reduced nodes are the raster torus grid.
+    ``HOMMX_MICRO_MATVEC=matfree`` disables it for A/B runs — except
+    under ``cell_prec='mg'``, whose V-cycle is built FROM the stencil."""
+    if getattr(eng, "_bstencil", False) is False:
+        import os
+
+        if (
+            os.environ.get("HOMMX_MICRO_MATVEC", "auto") == "matfree"
+            and eng.cell_prec != "mg"
+        ):
+            eng._bstencil = None
+        else:
+            from hommx_tpu.config import host_setup
+            from hommx_tpu.micro.block_stencil import build_block_stencil
+
+            with host_setup():
+                eng._bstencil = build_block_stencil(eng)
+    return eng._bstencil
+
+
+def _get_mg_levels(eng, offsets, shape):
+    """Cached host-side torus-MG hierarchy plan (micro/mg_prec.py), or
+    None when the stencil is not nearest-neighbor."""
+    if offsets is None or shape is None:
+        return None
+    from hommx_tpu.micro.mg_prec import _signed_offsets, build_mg_levels
+
+    key = (tuple(shape), tuple(map(tuple, np.asarray(offsets).tolist())))
+    cache = getattr(eng, "_mg_levels_cache", None)
+    if cache is None:
+        cache = eng._mg_levels_cache = {}
+    if key not in cache:
+        signed = _signed_offsets(np.asarray(offsets), shape)
+        cache[key] = (
+            None if signed is None else build_mg_levels(signed, shape)
+        )
+    return cache[key]
+
+def _mg_nu(eng) -> int:
+    """Chebyshev smoothing degree for the torus-MG V-cycle.  Auto
+    (``mg_nu=0``): 2 for scalar problems (converge in ~10-13 iterations
+    regardless), 4 for vector problems — the 16³ contrast-1e5 fiber cell
+    sweep (tol 1e-7, f64): ν=2 → 197 iterations, ν=4 → 136, ν=6 → 111,
+    ν=8 → 95, with per-iteration cost linear in ν; ν=4 is the measured
+    time optimum, ν=8 the iteration-robustness end of the curve
+    (docs/performance.md round-5)."""
+    if getattr(eng, "mg_nu", 0):
+        return int(eng.mg_nu)
+    return 2 if eng.coeff_kind == "scalar" and eng.bs == 1 else 4

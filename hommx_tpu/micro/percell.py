@@ -78,6 +78,12 @@ def build_operators(eng):
         node_cells = np.repeat(node_cells, nq, axis=0)  # (ne·nq, nnd)
         eng.yq = np.asarray(xq).reshape(ne_eff, 1, d)
         eng.wq = np.asarray(wq).reshape(ne_eff, 1)
+        # P2 basis VALUES at the quadrature points (for load-vector
+        # assembly in solve_periodic): per effective element, one row
+        phi_np, _ = p2_basis(jnp.asarray(xi), d)
+        eng.phi_q = np.tile(np.asarray(phi_np), (ne, 1)).reshape(
+            ne_eff, 1, nnd
+        )
         ne, nq = ne_eff, 1
     else:
         # local gradient operator Draw: (ne, r, nbl) — P1 gradients are
@@ -95,6 +101,11 @@ def build_operators(eng):
                     ]
         eng.yq = np.asarray(xq)  # (ne, nq, d) quadrature points (f64)
         eng.wq = np.asarray(wq)  # (ne, nq) weights, Σ = |Y|
+        # P1 basis values at the quadrature points = barycentric coords
+        # (shared across elements); for load-vector assembly
+        eng.phi_q = np.broadcast_to(
+            np.asarray(lam_q)[None], (ne, nq, nnd)
+        ).copy()
     eng.nE, eng.nq = ne, nq
     eng.Draw = jnp.asarray(Draw, dtype=eng.dtype)
 
@@ -158,7 +169,7 @@ def build_operators(eng):
     eng._eye_sym = (
         _sym_map(jnp.eye(d, dtype=eng.dtype)) if bs == d else None
     )
-    if eng.solver == "pcg" and eng.cell_prec != "fft":
+    if eng.solver == "pcg" and eng.cell_prec not in ("fft", "mg"):
         eng._get_K0inv()  # build eagerly — np.linalg.inv can't trace
     elif eng.solver == "pcg" or (
         eng.solver == "cholesky"
@@ -311,3 +322,156 @@ def cell_tensor(eng, Ae: jnp.ndarray, G: Optional[jnp.ndarray] = None):
     Astar = jnp.einsum("ern,ert,etm->nm", Phi, Ae, Phi) / eng.volume_Y
     return eng._expand_astar(Astar), eng._expand_cols(X)
 
+
+def solve_periodic(eng, coeff, rhs=None, grad_rhs=None, x_center=None):
+    """Standalone periodic variational solve on the unit cell Y — the
+    general-form ``PeriodicLinearProblem`` analogue (reference
+    ``cell_problem.py:303-388``): the reference lets a user solve ANY
+    periodic problem a(u, v) = L(v) on an MPC-constrained space; this is
+    the same surface for this FEM.  Solves
+
+        a(u, v) = ∫_Y ∇v · A(x₀, y) ∇u dy  =  L(v)
+        L(v)    = ∫_Y f(y) · v dy  +  ∫_Y g(y) · ∇v dy
+
+    on the reduced periodic space with the constant nullspace pinned
+    (vertex pinning replaces the reference's PETSc NullSpace handling,
+    ``cell_problem.py:345-361``).  As in the reference's pure-periodic
+    setting, L must be compatible (zero total force per component for
+    the f term); the pinned solve fixes the arbitrary constant.
+
+    Args:
+        coeff: the engine's coefficient callable A(x, y) (same contract
+            as the HMM coefficient: scalar / (d,d) / (d,d,d,d) matching
+            ``coeff_kind``).
+        rhs: optional load callable f(y) → scalar (bs=1) or (bs,).
+        grad_rhs: optional gradient-weighted load g(y) → (r,)
+            (r = d for scalar, d² flattened-gradient rows for vector) —
+            the HMM cell problems themselves are of this form.
+        x_center: macro point x₀ passed to the coefficient (default 0).
+
+    Returns:
+        u on the FULL periodic node set, shape (n_nodes·bs,) — the
+        reduced solution expanded through the periodic map (the analogue
+        of the reference returning a Function on the MPC space).
+    """
+    if rhs is None and grad_rhs is None:
+        raise ValueError("solve_periodic needs rhs and/or grad_rhs")
+    d = eng.d
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x0 = (
+        jnp.zeros(d, dtype=f64)
+        if x_center is None
+        else jnp.asarray(x_center, dtype=f64)
+    )
+    Ae = eng.element_coeff(coeff, x0)  # (nE, r, r)
+    n = eng.n_reduced
+    bs, s = eng.bs, 1
+
+    # load vector
+    b = jnp.zeros((n,), dtype=eng.dtype)
+    wq = jnp.asarray(eng.wq, dtype=eng.dtype)  # (nE, nq)
+    if rhs is not None:
+        fv = jax.vmap(jax.vmap(lambda y: jnp.asarray(rhs(y), dtype=eng.dtype)))(
+            eng.yq_dev
+        )  # (nE, nq) scalar or (nE, nq, bs)
+        fv = fv.reshape(eng.nE, eng.nq, bs)
+        phi = jnp.asarray(eng.phi_q, dtype=eng.dtype)  # (nE, nq, nnd)
+        b_loc = jnp.einsum("eq,eqi,eqa->eai", wq, fv, phi).reshape(
+            eng.nE, -1
+        )  # (nE, nnd·bs) in (a, i) dof order = loc2red order
+        b = b.at[eng.loc2red.reshape(-1)].add(b_loc.reshape(-1))
+    if grad_rhs is not None:
+        gv = jax.vmap(
+            jax.vmap(lambda y: jnp.asarray(grad_rhs(y), dtype=eng.dtype))
+        )(eng.yq_dev)  # (nE, nq, r)
+        ge = jnp.einsum("eq,eqr->er", wq, gv)  # quadrature-reduced
+        b_loc = jnp.einsum("er,erl->el", ge, eng.Draw)
+        b = b.at[eng.loc2red.reshape(-1)].add(b_loc.reshape(-1))
+    keep = jnp.logical_not(eng.pin_mask).astype(eng.dtype)
+    b = b * keep
+
+    if n <= 4096:
+        T = eng._grad_map(None)
+        A_K = Ae if T is None else jnp.einsum("mr,emt,tn->ern", T, Ae, T)
+        K = (
+            eng._assemble_dense(A_K)
+            if eng.assembly == "dense" and eng.D is not None
+            else eng._assemble_scatter(A_K)
+        )
+        K = K * keep[:, None] * keep[None, :] + jnp.diag(
+            eng.pin_mask.astype(eng.dtype)
+        )
+        c = jax.scipy.linalg.cho_factor(K)
+        u = jax.scipy.linalg.cho_solve(c, b)
+    else:
+        # large spaces: one-cell chunk PCG on the same operator (the MG
+        # preconditioner when the mesh is structured, Jacobi otherwise)
+        from hommx_tpu.micro.krylov import _chunk_pcg_raw
+
+        T = eng._grad_map(None)
+        A_K1 = (
+            Ae[None]
+            if T is None
+            else jnp.einsum("mr,emt,tn->ern", T, Ae, T)[None]
+        )  # (1, nE, r, r)
+        keep3 = keep[:, None, None]
+        pinf3 = eng.pin_mask.astype(eng.dtype)[:, None, None]
+
+        bst = eng._get_block_stencil()
+        if bst is not None:
+            from hommx_tpu.micro.block_stencil import (
+                block_stencil_matvec,
+                block_stencil_weights,
+            )
+
+            Wb = block_stencil_weights(bst, eng, A_K1)
+            matvec = lambda P: block_stencil_matvec(bst, Wb, P)
+        else:
+
+            def matvec(P):
+                Pk = (P * keep3)[:, 0, 0]
+                p_loc = Pk[eng.loc2red]
+                Dp = jnp.einsum("erl,el->er", eng.Draw, p_loc)
+                w = jnp.einsum("ert,et->er", A_K1[0], Dp)
+                wl = jnp.einsum("erl,er->el", eng.Draw, w)
+                Kp = (
+                    jnp.zeros((n,), dtype=P.dtype)
+                    .at[eng.loc2red.reshape(-1)]
+                    .add(wl.reshape(-1))
+                )
+                return Kp[:, None, None] * keep3 + pinf3 * P
+
+        mg_levels = (
+            eng._get_mg_levels(bst.offsets, bst.shape)
+            if bst is not None
+            else None
+        )
+        if mg_levels is not None:
+            from hommx_tpu.micro.chunk import _mg_nu
+            from hommx_tpu.micro.mg_prec import mg_prec, mg_setup
+
+            prec = mg_prec(
+                mg_levels, mg_setup(mg_levels, Wb), nu=_mg_nu(eng)
+            )
+        else:
+            dl = jnp.einsum(
+                "erl,ert,etl->el", eng.Draw, A_K1[0], eng.Draw
+            )
+            dg = (
+                jnp.zeros((n,), dtype=eng.dtype)
+                .at[eng.loc2red.reshape(-1)]
+                .add(dl.reshape(-1))
+            )
+            dg = jnp.where(eng.pin_mask | (dg <= 0), 1.0, dg)
+            prec = lambda R: R / dg[:, None, None]
+        tol = eng.pcg_tol
+        u3, _ = _chunk_pcg_raw(
+            matvec, prec, b[:, None, None], tol, eng.pcg_maxiter
+        )
+        u = u3[:, 0, 0]
+
+    # expand to the full periodic node set
+    red = np.asarray(eng.pmap.reduced_index)
+    comp = np.arange(bs)
+    idx = (red[:, None] * bs + comp[None, :]).reshape(-1)
+    return u[jnp.asarray(idx)]

@@ -1,0 +1,200 @@
+"""Torus multigrid cell preconditioner + block stencil (round 5).
+
+The round-4 verdict's top item: a micro-level MG preconditioner for the
+chunk PCG, scalar AND vector, replacing the contrast-weak FFT symbol
+(763 lockstep iterations on the 16³ contrast-1e5 fiber cell) and giving
+large micro spaces a practical iterative route.  Anchor: the per-cell
+PETSc preconditioner stack the reference configures freely
+(``/root/reference/src/hommx/hmm.py:153-155``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hommx_tpu import create_unit_cube, create_unit_square
+from hommx_tpu.micro.engine import MicroEngine, _sym_map
+from hommx_tpu.utils.validation import hooke_tensor
+
+rng = np.random.default_rng(0)
+
+
+def _circle(a, b):
+    da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+    db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+    return (da**2 + db**2) < ((2 * jnp.pi) ** 2 / 16)
+
+
+def _stiff_fiber(soft=0.001):
+    mu = lambda x, y: jnp.where(_circle(y[1], y[2]), 100.0, soft)
+    return hooke_tensor(3, mu, lambda x, y: 1.0)
+
+
+def test_block_stencil_matvec_equals_matfree():
+    """The block stencil (micro/block_stencil.py) is an exact
+    reformulation of the engine's keep/pin-guarded matrix-free matvec."""
+    from hommx_tpu.micro.block_stencil import (
+        block_stencil_matvec,
+        block_stencil_weights,
+        build_block_stencil,
+    )
+
+    eng = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="matfree", cell_prec="fft",
+    )
+    A_el = _stiff_fiber()
+    C = 2
+    centers = jnp.asarray(rng.uniform(0, 1, (C, 3)))
+    raw = jax.vmap(lambda x: eng._raw_coeff(A_el, x))(centers)
+    T = jnp.broadcast_to(
+        _sym_map(jnp.eye(3, dtype=eng.dtype)), (C, eng.r, eng.r)
+    )
+    A_K = jnp.einsum("cmr,cemt,ctn->cern", T, raw, T)
+    st = build_block_stencil(eng)
+    assert st is not None and st.offsets.shape[0] <= 15
+    W = block_stencil_weights(st, eng, A_K)
+
+    n, s = eng.n_reduced, eng.s
+    P = jnp.asarray(rng.standard_normal((n, s, C)))
+    keep = jnp.logical_not(eng.pin_mask).astype(eng.dtype)[:, None, None]
+    pinf = eng.pin_mask.astype(eng.dtype)[:, None, None]
+    Pk = P * keep
+    p_loc = Pk[eng.loc2red]
+    Dp = jnp.einsum("erl,elsc->ersc", eng.Draw, p_loc)
+    w = jnp.einsum("cert,etsc->ersc", A_K, Dp)
+    wl = jnp.einsum("erl,ersc->elsc", eng.Draw, w)
+    Kp = (
+        jnp.zeros((n, s, C), dtype=P.dtype)
+        .at[eng.loc2red.reshape(-1)]
+        .add(wl.reshape(-1, s, C))
+    )
+    ref = Kp * keep + pinf * P
+    out = block_stencil_matvec(st, W, P)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-13, rel
+
+
+def test_mg_scalar_matches_k0inv_and_cuts_iterations():
+    """Scalar chunk PCG with cell_prec='mg' reproduces the default
+    preconditioner's tensors and needs FEWER iterations on a
+    contrast-1e5 inclusion (measured 6 vs 39 at 32²)."""
+    Ac = lambda x, y: jnp.where(
+        (jnp.abs(y[0] - 0.5) < 0.25) & (jnp.abs(y[1] - 0.5) < 0.25),
+        1e5,
+        1.0,
+    )
+    centers = jnp.asarray(rng.uniform(0, 1, (4, 2)))
+    kw = dict(
+        dtype=jnp.float64, solver="pcg", pcg_tol=1e-11, pcg_maxiter=4000
+    )
+    e_ref = MicroEngine(create_unit_square(32), **kw)
+    A_ref, it_ref = e_ref.tensors_chunk_pcg(
+        Ac, centers, with_iters=True, implicit_diff=False
+    )
+    e_mg = MicroEngine(create_unit_square(32), cell_prec="mg", **kw)
+    A_mg, it_mg = e_mg.tensors_chunk_pcg(
+        Ac, centers, with_iters=True, implicit_diff=False
+    )
+    rel = float(jnp.max(jnp.abs(A_mg - A_ref)) / jnp.max(jnp.abs(A_ref)))
+    assert rel < 1e-9, rel
+    assert int(it_mg) < int(it_ref), (int(it_mg), int(it_ref))
+
+
+def test_mg_elasticity_matches_cholesky_4cubed():
+    """Round-4 verdict 'done' criterion: equivalence vs the batched
+    Cholesky at 4³ stays well under 1e-6 (at 4³ the hierarchy
+    degenerates to an exact per-cell dense solve, so the PCG converges
+    immediately)."""
+    A_el = _stiff_fiber()
+    centers = jnp.asarray(rng.uniform(0, 1, (3, 3)))
+    e_chol = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    A_chol = e_chol.tensors_for_centers(A_el, centers)
+    e_mg = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="matfree", cell_prec="mg",
+        pcg_tol=1e-11, pcg_maxiter=2000,
+    )
+    A_mg = e_mg.tensors_for_centers(A_el, centers)
+    rel = float(jnp.max(jnp.abs(A_mg - A_chol)) / jnp.max(jnp.abs(A_chol)))
+    assert rel < 1e-8, rel
+
+
+def test_mg_gradient_matches_cholesky():
+    """The MG route differentiates through the implicit-function-theorem
+    wrapper identically to the natively-differentiable direct solve."""
+    centers = jnp.asarray(rng.uniform(0, 1, (3, 3)))
+
+    def grad_with(engine_kwargs):
+        eng = MicroEngine(
+            create_unit_cube(4), bs=3, coeff_kind="tensor4",
+            dtype=jnp.float64, **engine_kwargs,
+        )
+
+        def loss(p):
+            mu = lambda x, y: 1.0 + p * (
+                x[0] + jnp.where(y[1] < 0.5, 2.0, 0.5)
+            )
+            A = hooke_tensor(3, mu, lambda x, y: 1.0)
+            return jnp.sum(eng.tensors_for_centers(A, centers) ** 2)
+
+        return float(jax.grad(loss)(jnp.float64(0.4)))
+
+    g_chol = grad_with({})
+    g_mg = grad_with(
+        dict(
+            solver="pcg", pcg_strategy="matfree", cell_prec="mg",
+            pcg_tol=1e-12, pcg_maxiter=1000,
+        )
+    )
+    assert abs(g_mg - g_chol) / abs(g_chol) < 1e-9
+
+
+def test_mg_rejects_unstructured_mesh():
+    """cell_prec='mg' requires the torus grid; unstructured micro meshes
+    get a clear error instead of a silent fallback."""
+    from hommx_tpu.meshes.simplex import SimplexMesh
+
+    box = create_unit_square(6)
+    # same periodic geometry, but without the structured-grid metadata
+    # the torus machinery requires
+    mesh = SimplexMesh(np.asarray(box.vertices), np.asarray(box.cells))
+    assert mesh.structure is None
+    eng = MicroEngine(
+        mesh, dtype=jnp.float64, solver="pcg", cell_prec="mg",
+        pcg_tol=1e-8, pcg_maxiter=100,
+    )
+    A = lambda x, y: 1.0 + y[0]
+    with pytest.raises(ValueError, match="structured box micro mesh"):
+        eng.tensors_chunk_pcg(
+            A, jnp.zeros((2, 2), jnp.float64), implicit_diff=False
+        )
+
+
+@pytest.mark.slow
+def test_mg_elasticity_16cubed_under_100_iterations():
+    """Round-4 verdict item 1 'done' criterion: the 16³ stiff-fiber cell
+    at contrast 1e5 converges in ≲100 lockstep iterations (the FFT
+    symbol took 763 at the same tolerance, round 4), and the tensors
+    stay physical.  ``mg_nu=10`` is the iteration-robust end of the
+    measured smoothing-degree curve (ν=4: 136, ν=6: 111, ν=8: 101,
+    ν=10: 90 on these cells)."""
+    A_el = _stiff_fiber()
+    eng = MicroEngine(
+        create_unit_cube(16), bs=3, coeff_kind="tensor4",
+        dtype=jnp.float64, solver="pcg", pcg_strategy="matfree",
+        cell_prec="mg", mg_nu=10, pcg_tol=1e-7, pcg_maxiter=2000,
+    )
+    assert eng.D is None  # the large-space (D-free) route
+    centers = jnp.asarray(rng.uniform(0, 1, (2, 3)))
+    A, iters = eng.tensors_chunk_pcg(
+        A_el, centers, with_iters=True, implicit_diff=False
+    )
+    A = jax.device_get(A)
+    assert int(iters) <= 100, int(iters)
+    assert np.isfinite(A).all()
+    d = A[0].diagonal()
+    assert d[0] > 1.0 and d[1] < 1.0 and (d > 0).all()
