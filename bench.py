@@ -134,8 +134,9 @@ def main():
     assert len(set(checksums)) == reps, "reps produced identical results"
 
     # the axon tunnel shows ±30% run-to-run variance: report the MEDIAN as
-    # the headline (the driver-reproducible number) plus the per-rep times
-    # and spread, so docs quote what reruns actually reproduce
+    # the headline (the driver-reproducible number) plus the per-rep times,
+    # the spread, and the outlier-TRIMMED median (min/max reps dropped —
+    # round-4 verdict item 5: one bad rep was moving extra rows a lot)
     dt = float(np.median(times))
     nrhs = engine.s  # d generator correctors per cell
     solves_per_sec = n_cells * nrhs / dt
@@ -148,9 +149,19 @@ def main():
         "spread_pct": round(
             100.0 * (max(times) - min(times)) / dt, 1
         ),
+        "trimmed_value": round(n_cells * nrhs / _trimmed(times), 1),
         "extra_rows": _extra_rows(on_tpu, dtype),
     }
     print(json.dumps(result))
+
+
+def _trimmed(times):
+    """Median with the min and max reps dropped (outlier-robust; equals
+    the plain median for fewer than 4 reps)."""
+    if len(times) < 4:
+        return float(np.median(times))
+    t = sorted(times)[1:-1]
+    return float(np.median(t))
 
 
 def _measure(engine, coeff, G_fn, n_cells, dim, chunk, dtype, reps):
@@ -176,6 +187,7 @@ def _measure(engine, coeff, G_fn, n_cells, dim, chunk, dtype, reps):
         "unit": "solves/s",
         "reps_ms": [round(t * 1e3, 1) for t in times],
         "spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1),
+        "trimmed_value": round(n_cells * engine.s / _trimmed(times), 1),
     }
 
 
@@ -186,7 +198,9 @@ def _extra_rows(on_tpu, dtype):
     from hommx_tpu.utils.validation import hooke_tensor
 
     rows = []
-    reps = 3 if on_tpu else 1
+    # round-4 verdict item 5: 3 reps let one bad tunnel rep move the
+    # driver-captured numbers — 5 reps + trimmed medians everywhere
+    reps = 5 if on_tpu else 1
 
     # 3D scalar: 8^3 unit cell (n_red = 512), x-dependent coefficient
     eng3 = MicroEngine(
@@ -232,7 +246,90 @@ def _extra_rows(on_tpu, dtype):
                  dtype, reps)
     r["metric"] = "micro_elasticity3d_solves_per_sec"
     rows.append(r)
+
+    # 16³-elasticity via the torus-MG matrix-free route (round-4 verdict
+    # item 1: high micro resolutions must have a driver-captured
+    # throughput row, not just a capability test).  Small cell batch —
+    # the per-cell state at n_red = 12288 is large; the metric is
+    # per-cell-problem throughput at high resolution.
+    if on_tpu:
+        eng16 = MicroEngine(
+            create_unit_cube(16), bs=3, coeff_kind="tensor4",
+            quad_degree=2, dtype=dtype, solver="pcg",
+            pcg_strategy="matfree", cell_prec="mg",
+        )
+        r = _measure(eng16, A_el, G_fn, 8, 3, 8, dtype, 3)
+        r["metric"] = "micro_elasticity_16cubed_mg_solves_per_sec"
+        rows.append(r)
+
+    # Flagship-beam END-TO-END with dedup (round-4 verdict item 8): the
+    # production fast path users actually hit on the rotated-fiber
+    # example — x-independent Hooke + 6 distinct stratified-map heights
+    # dedups 4320 macro cells to a handful of unique cell problems.
+    # Fresh model per rep (the honest one-shot UX, including retrace).
+    if on_tpu:
+        rows.append(_beam_dedup_row(dtype))
     return rows
+
+
+def _beam_dedup_row(dtype):
+    from hommx_tpu import (
+        LinearElasticityStratifiedHMM,
+        create_box,
+        create_unit_cube,
+        dirichletbc,
+    )
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    W = 0.4
+
+    def circle(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < (2 * jnp.pi) ** 2 / 16
+
+    mu = lambda x, y: jnp.where(circle(y[1], y[2]), 100.0, 0.001)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def Dt3(x):
+        g = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    macro = create_box([[0, 0, 0], [1.0, W, 0.1]], [20, 6, 6])
+    micro = create_unit_cube(4)
+    times = []
+    checks = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        h = LinearElasticityStratifiedHMM(
+            macro, A_el, lambda x: jnp.array([0.0, 0.0, -0.008]),
+            micro, 2**-5, Dt3, dtype=dtype, dedup_cells=True,
+        )
+        h.set_boundary_conditions(
+            dirichletbc(
+                np.zeros(3),
+                boundary_dofs(
+                    h.function_space, lambda x: np.isclose(x[0], 0)
+                ),
+                h.function_space,
+            )
+        )
+        u = h.solve()
+        checks.append(float(jnp.sum(u.array * u.array)))
+        times.append(time.perf_counter() - t0)
+    assert all(np.isfinite(checks)) and len(set(checks)) == 1
+    dt = float(np.median(times))
+    return {
+        "metric": "beam_dedup_end_to_end_s",
+        "value": round(dt, 3),
+        "unit": "s",
+        "reps_ms": [round(t * 1e3, 1) for t in times],
+        "spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1),
+        "trimmed_value": round(_trimmed(times), 3),
+        "n_unique": getattr(h, "_n_unique", None),
+    }
 
 
 if __name__ == "__main__":

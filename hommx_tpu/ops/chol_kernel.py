@@ -326,7 +326,7 @@ def _chol_kernel(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref, *,
 
 
 def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
-                     interpret=None):
+                     interpret=None, body=None):
     """Direct solve of the batched SPD systems ``Ks X = Fs`` with one
     refinement sweep, fused in VMEM.
 
@@ -337,9 +337,20 @@ def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
         nb: panel width (n is padded to a multiple internally).
         interpret: Pallas interpreter toggle (defaults to True off-TPU so
             CPU tests cover the kernel, same convention as ops/dia.py).
+        body: 'rolled' (default; the round-5 fori-loop panel body whose
+            Mosaic program is a few dozen ops — compiles in seconds) or
+            'unrolled' (the round-3 static-panel body, kept for A/B:
+            ~500 s Mosaic compiles on this toolchain).
+            ``HOMMX_CHOL_BODY`` overrides.
 
     Returns X (n, s, C) cell-minor.
     """
+    import os
+
+    if body is None:
+        body = os.environ.get("HOMMX_CHOL_BODY", "rolled")
+    if body not in ("rolled", "unrolled"):
+        raise ValueError("body must be 'rolled' or 'unrolled'")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     C, n, _ = Ks.shape
@@ -376,9 +387,28 @@ def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
     nblk = (C + c_pad) // Cb
     npan = npad // nb
 
-    kern = functools.partial(
-        _chol_kernel, n=npad, s=s, nb=nb, eps=float(eps)
-    )
+    if body == "rolled":
+        kern = functools.partial(
+            _chol_kernel_rolled, n=npad, s=s, nb=nb, eps=float(eps)
+        )
+        scratch = [
+            pltpu.VMEM((npad, npad, Cb), dtype),  # W: K -> L panels
+            pltpu.VMEM((npan * nb, nb, Cb), dtype),  # Di rows
+            pltpu.VMEM((npad, s, Cb), dtype),  # ACC
+            pltpu.VMEM((npad, s, Cb), dtype),  # Y
+            pltpu.VMEM((nb, nb, Cb), dtype),  # Dw diag workspace
+            pltpu.VMEM((nb, nb, Cb), dtype),  # L diag factor
+        ]
+    else:
+        kern = functools.partial(
+            _chol_kernel, n=npad, s=s, nb=nb, eps=float(eps)
+        )
+        scratch = [
+            pltpu.VMEM((npad, npad, Cb), dtype),  # W: in-place factor
+            pltpu.VMEM((npan, nb, nb, Cb), dtype),  # Di: Lpp^{-1} blocks
+            pltpu.VMEM((npad, s, Cb), dtype),  # ACC
+            pltpu.VMEM((npad, s, Cb), dtype),  # Y
+        ]
     z = np.int32(0)
     X = pl.pallas_call(
         kern,
@@ -392,12 +422,7 @@ def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
         out_specs=pl.BlockSpec((npad, s, Cb), lambda i: (z, z, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, s, C + c_pad), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((npad, npad, Cb), dtype),  # W: in-place factor
-            pltpu.VMEM((npan, nb, nb, Cb), dtype),  # Di: Lpp^{-1} blocks
-            pltpu.VMEM((npad, s, Cb), dtype),  # ACC
-            pltpu.VMEM((npad, s, Cb), dtype),  # Y
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -405,3 +430,193 @@ def fused_chol_solve(Ks, Fs, nb: int = 32, eps: float = 1e-30,
         interpret=interpret,
     )(Km, Fm)
     return X[:n, :, :C]
+
+
+# ---------------------------------------------------------------------------
+# Rolled kernel body (round-5 verdict item 2a): the unrolled kernel above
+# keeps the PANEL loop as a static Python loop so the trailing Schur
+# slices have static shapes — and its Mosaic compile is pathological on
+# this toolchain (~500 s at production sizes, docs/performance.md).  This
+# body rolls the panel loop into the same i32 while_loop as the inner
+# recursions, replacing shape-shrinking trailing slices with FULL-WIDTH
+# masked updates (the Schur update and both substitution phases only
+# touch rows/cols beyond the current panel, enforced by iota masks).
+# ~3x the minimal flops on the update, but the traced program is a few
+# dozen ops TOTAL regardless of n — the compile-time fix the round-4
+# verdict asked to attempt.  Semantics are identical (same clamped
+# pivots, same refinement sweep).
+# ---------------------------------------------------------------------------
+
+
+def _chol_kernel_rolled(K_ref, F_ref, X_ref, W_ref, Di_ref, ACC_ref, Y_ref,
+                        Dw_ref, L_ref, *, n: int, s: int, nb: int,
+                        eps: float):
+    """One cell block, fully rolled: every loop (panels included) is an
+    i32 while_loop; dynamically-indexed operands live in VMEM scratch.
+
+    Scratch: W (n, n, Cb) holds K, progressively overwritten by the L
+    panels (columns [a, a+nb) after panel p holds L rows ≥ a, zeros
+    above); Di (npan·nb, nb, Cb) row-major inverted diagonal blocks
+    (row p·nb+i = Lpp⁻¹[i, :]); Dw/L (nb, nb, Cb) diagonal-block
+    workspaces; ACC/Y (n, s, Cb) substitution state."""
+    dtype = F_ref.dtype
+    npan = n // nb
+    Cb = F_ref.shape[-1]
+    epsv = jnp.asarray(eps, dtype)
+    iota_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    i32 = np.int32
+
+    def loop32(hi, body, init):
+        def wbody(st):
+            k, val = st
+            return k + i32(1), body(k, val)
+
+        return jax.lax.while_loop(
+            lambda st: st[0] < i32(hi), wbody, (i32(0), init)
+        )[1]
+
+    W_ref[:] = K_ref[:]
+
+    # ---- factorization: rolled right-looking panels ---------------------
+    def panel_body(p, _):
+        a = p * i32(nb)
+
+        # diagonal block -> Dw, factored in place; L panel -> L_ref
+        Dw_ref[:] = W_ref[pl.ds(a, nb), pl.ds(a, nb), :]
+        zeros_col = jnp.zeros((nb, 1, Cb), dtype)
+
+        def chol_j(j, _):
+            piv = jnp.sqrt(
+                jnp.maximum(Dw_ref[pl.ds(j, 1), pl.ds(j, 1), :], epsv)
+            )
+            col = Dw_ref[:, pl.ds(j, 1), :] / piv
+            col = jnp.where(iota_nb >= j, col, zeros_col)
+            L_ref[:, pl.ds(j, 1), :] = col
+            W_colT = jnp.swapaxes(col, 0, 1)
+            Dw_ref[:, :, :] = Dw_ref[:, :, :] - col * W_colT
+            return i32(0)
+
+        loop32(nb, chol_j, i32(0))
+
+        # Lpp^{-1} by forward Gauss-Jordan into Di rows [a, a+nb)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
+        Di_ref[pl.ds(a, nb), :, :] = jnp.broadcast_to(
+            (rr == cc).astype(dtype), (nb, nb, Cb)
+        )
+
+        def gj_k(k, _):
+            piv = L_ref[pl.ds(k, 1), pl.ds(k, 1), :]  # (1, 1, Cb)
+            xk = Di_ref[pl.ds(a + k, 1), :, :] / piv  # (1, nb, Cb)
+            Di_ref[pl.ds(a + k, 1), :, :] = xk
+            lcolk = L_ref[:, pl.ds(k, 1), :]
+            colk = jnp.where(
+                iota_nb > k, lcolk, jnp.zeros_like(lcolk)
+            )
+            Di_ref[pl.ds(a, nb), :, :] = (
+                Di_ref[pl.ds(a, nb), :, :] - colk * xk
+            )
+            return i32(0)
+
+        loop32(nb, gj_k, i32(0))
+
+        # panel solve for ALL rows at once: Lcol = Kcol @ Lpp^{-T}
+        # (rows [a, a+nb) reproduce Lpp exactly: D·Lpp^{-T} = Lpp)
+        def loff_k(k, acc):
+            tcol = W_ref[:, pl.ds(a + k, 1), :]  # (n, 1, Cb)
+            drow = jnp.swapaxes(
+                Di_ref[pl.ds(a, nb), pl.ds(k, 1), :], 0, 1
+            )  # (1, nb, Cb): Linv[:, k] over target j
+            return acc + tcol * drow
+
+        Lcol = loop32(nb, loff_k, jnp.zeros((n, nb, Cb), dtype))
+        Lcol = jnp.where(iota_n >= a, Lcol, jnp.zeros_like(Lcol))
+        W_ref[:, pl.ds(a, nb), :] = Lcol
+
+        # Schur update, full-width masked to rows/cols >= a + nb
+        def schur_k(k, _):
+            colk = W_ref[:, pl.ds(a + k, 1), :]
+            colb = jnp.where(
+                iota_n >= a + i32(nb), colk, jnp.zeros_like(colk)
+            )
+            rowb = jnp.swapaxes(colb, 0, 1)  # (1, n, Cb)
+            W_ref[:, :, :] = W_ref[:, :, :] - colb * rowb
+            return i32(0)
+
+        loop32(nb, schur_k, i32(0))
+        return i32(0)
+
+    loop32(npan, panel_body, i32(0))
+
+    # ---- substitution: L Y = B forward, L^T X = Y backward --------------
+    def solve_from_acc():
+        def fwd_p(p, _):
+            a = p * i32(nb)
+
+            def y_k(k, acc):
+                lcol = Di_ref[pl.ds(a, nb), pl.ds(k, 1), :]  # (nb,1,Cb)
+                rhsk = ACC_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                return acc + lcol * rhsk
+
+            y = loop32(nb, y_k, jnp.zeros((nb, s, Cb), dtype))
+            Y_ref[pl.ds(a, nb), :, :] = y
+
+            def sub_k(k, _):
+                lcol = W_ref[:, pl.ds(a + k, 1), :]
+                lb = jnp.where(
+                    iota_n >= a + i32(nb), lcol, jnp.zeros_like(lcol)
+                )
+                yk = Y_ref[pl.ds(a + k, 1), :, :]  # (1, s, Cb)
+                ACC_ref[:, :, :] = ACC_ref[:, :, :] - lb * yk
+                return i32(0)
+
+            loop32(nb, sub_k, i32(0))
+            return i32(0)
+
+        loop32(npan, fwd_p, i32(0))
+
+        ACC_ref[:] = Y_ref[:]
+
+        def bwd_p(i, _):
+            p = i32(npan - 1) - i
+            a = p * i32(nb)
+
+            def x_k(k, acc):
+                lrow = jnp.swapaxes(
+                    Di_ref[pl.ds(a + k, 1), :, :], 0, 1
+                )  # (nb, 1, Cb): Linv[k, :] transposed
+                rhsk = ACC_ref[pl.ds(a + k, 1), :, :]
+                return acc + lrow * rhsk
+
+            x = loop32(nb, x_k, jnp.zeros((nb, s, Cb), dtype))
+            Y_ref[pl.ds(a, nb), :, :] = x
+
+            def bsub_k(k, _):
+                lrow = W_ref[pl.ds(a + k, 1), :, :]  # (1, n, Cb)
+                lt = jnp.swapaxes(lrow, 0, 1)  # (n, 1, Cb)
+                ltm = jnp.where(iota_n < a, lt, jnp.zeros_like(lt))
+                xk = Y_ref[pl.ds(a + k, 1), :, :]
+                ACC_ref[:, :, :] = ACC_ref[:, :, :] - ltm * xk
+                return i32(0)
+
+            loop32(nb, bsub_k, i32(0))
+            return i32(0)
+
+        loop32(npan, bwd_p, i32(0))
+
+    ACC_ref[:] = F_ref[:]
+    solve_from_acc()
+    X_ref[:] = Y_ref[:]
+
+    # ---- one refinement sweep vs the ORIGINAL operator ------------------
+    def kx_k(k, acc):
+        kcol = K_ref[:, pl.ds(k, 1), :]  # (n, 1, Cb)
+        xrow = Y_ref[pl.ds(k, 1), :, :]  # (1, s, Cb)
+        return acc + kcol * xrow
+
+    # Y currently holds X (the bwd phase wrote panels into Y)
+    KX = loop32(n, kx_k, jnp.zeros((n, s, Cb), dtype))
+    ACC_ref[:] = F_ref[:] - KX
+    solve_from_acc()
+    X_ref[:] = X_ref[:] + Y_ref[:]

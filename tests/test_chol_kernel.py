@@ -21,12 +21,15 @@ def _spd_batch(rng, C, n, s, dtype=jnp.float32):
     return jnp.asarray(K, dtype), jnp.asarray(F, dtype)
 
 
+@pytest.mark.parametrize("body", ["rolled", "unrolled"])
 @pytest.mark.parametrize("C,n,s", [(5, 40, 3), (3, 64, 6), (9, 33, 2)])
-def test_fused_chol_matches_exact(C, n, s):
+def test_fused_chol_matches_exact(C, n, s, body):
     rng = np.random.default_rng(0)
     K, F = _spd_batch(rng, C, n, s)
     Fm = jnp.moveaxis(F, 0, -1)  # (n, s, C)
-    X = np.moveaxis(np.asarray(fused_chol_solve(K, Fm)), -1, 0)
+    X = np.moveaxis(
+        np.asarray(fused_chol_solve(K, Fm, body=body)), -1, 0
+    )
     Xe = np.linalg.solve(np.asarray(K, np.float64), np.asarray(F, np.float64))
     err = np.abs(X - Xe).max() / np.abs(Xe).max()
     assert err < 5e-6, err

@@ -108,3 +108,80 @@ def test_dia_spmv_pallas_on_device_matches_shifts():
     )
     denom = np.max(np.abs(y_x)) + 1e-30
     assert np.max(np.abs(y_p - y_x)) / denom < 1e-5
+
+
+def test_poisson_hmm_end_to_end_on_device_matches_golden():
+    """Full PoissonHMM.solve() on the REAL backend vs the frozen f64 CPU
+    golden functionals (round-4 verdict item 3: end-to-end TPU
+    correctness was pinned only indirectly via bench checksums).  Same
+    config as test_golden.py::poisson_hmm, f32 on device."""
+    _require_tpu()
+    from hommx_tpu import PoissonHMM, create_unit_square
+    from tests.test_golden import GOLDEN, _functionals
+
+    macro = create_unit_square(8, 8)
+    micro = create_unit_square(8, 8)
+
+    def A(x, y):
+        return 0.33 + 0.15 * (
+            jnp.sin(2 * jnp.pi * x[0]) + jnp.sin(2 * jnp.pi * y[0])
+        )
+
+    u = PoissonHMM(
+        macro, A, lambda x: 1.0, micro, 0.1 / 8, dtype=jnp.float32
+    ).solve()
+    got = _functionals(macro, u)
+    want = GOLDEN["poisson_hmm"]
+    for g, w in zip(got, want):
+        assert np.isfinite(g)
+        assert abs(g - w) / abs(w) < 1e-4, (got, want)
+
+
+def test_elasticity_beam_end_to_end_on_device_matches_golden():
+    """Small stratified-elasticity beam solve() on the REAL backend vs
+    the frozen f64 CPU goldens at f32 tolerance (same config as
+    test_golden.py::elasticity_stratified_3d — contrast-1e5 rotated
+    fibers, f32 micro + f64 macro, the production path)."""
+    _require_tpu()
+    from hommx_tpu import (
+        LinearElasticityStratifiedHMM,
+        create_box,
+        create_unit_cube,
+        dirichletbc,
+    )
+    from hommx_tpu.ops.function_space import boundary_dofs
+    from hommx_tpu.utils.validation import hooke_tensor
+    from tests.test_golden import GOLDEN, _functionals
+
+    L, W = 1.0, 0.4
+    macro = create_box([[0, 0, 0], [L, W, 0.1]], [5, 2, 2])
+    micro = create_unit_cube(3)
+
+    def circ(a, b):
+        da = jnp.arccos(jnp.cos(2 * jnp.pi * (a - 0.5)))
+        db = jnp.arccos(jnp.cos(2 * jnp.pi * (b - 0.5)))
+        return (da**2 + db**2) < ((2 * jnp.pi) ** 2 / 16)
+
+    mu = lambda x, y: jnp.where(circ(y[1], y[2]), 100.0, 0.001)
+    A = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def Dtheta(x):
+        gamma = 0.5 * jnp.pi * x[1] / W
+        c, s = jnp.cos(gamma), jnp.sin(gamma)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    hmm = LinearElasticityStratifiedHMM(
+        macro, A, lambda x: jnp.array([0.0, 0.0, -0.008]), micro, 2**-5,
+        Dtheta, dtype=jnp.float32,
+    )
+    V = hmm.function_space
+    hmm.set_boundary_conditions(
+        dirichletbc(
+            np.zeros(3), boundary_dofs(V, lambda x: np.isclose(x[0], 0)), V
+        )
+    )
+    got = _functionals(macro, hmm.solve())
+    want = GOLDEN["elasticity_stratified_3d"]
+    for g, w in zip(got, want):
+        assert np.isfinite(g)
+        assert abs(g - w) / abs(w) < 2e-3, (got, want)
