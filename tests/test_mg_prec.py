@@ -198,3 +198,46 @@ def test_mg_elasticity_16cubed_under_100_iterations():
     assert np.isfinite(A).all()
     d = A[0].diagonal()
     assert d[0] > 1.0 and d[1] < 1.0 and (d > 0).all()
+
+
+def test_block_stencil_stratified_route_matches_matfree(monkeypatch):
+    """The block-stencil matvec engages on the matfree elasticity route
+    (structured meshes) including the STRATIFIED map, and reproduces the
+    pure matrix-free formulation (HOMMX_MICRO_MATVEC=matfree A/B) and
+    the direct solve."""
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 20.0 * (1 + 0.1 * x[0]), 0.05)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.5 * jnp.pi * x[1] / 0.4
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array(
+            [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]
+        ).T
+
+    centers = jnp.asarray(rng.uniform(0, 1, (4, 3)))
+    kw = dict(
+        bs=3, coeff_kind="tensor4", dtype=jnp.float64, solver="pcg",
+        pcg_strategy="matfree", pcg_tol=1e-11, pcg_maxiter=3000,
+    )
+    outs = {}
+    for mode in ("matfree", "auto"):
+        monkeypatch.setenv("HOMMX_MICRO_MATVEC", mode)
+        eng = MicroEngine(create_unit_cube(4), cell_prec="fft", **kw)
+        if mode == "auto":
+            assert eng._get_block_stencil() is not None
+        outs[mode] = np.asarray(
+            eng.tensors_chunk_pcg(
+                A_el, centers, G_fn=G_fn, implicit_diff=False
+            )
+        )
+    rel = np.max(np.abs(outs["auto"] - outs["matfree"])) / np.max(
+        np.abs(outs["matfree"])
+    )
+    assert rel < 1e-9, rel
+    e_chol = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    A_chol = np.asarray(e_chol.tensors_for_centers(A_el, centers, G_fn=G_fn))
+    rel2 = np.max(np.abs(outs["auto"] - A_chol)) / np.max(np.abs(A_chol))
+    assert rel2 < 1e-8, rel2
