@@ -202,9 +202,11 @@ def tensors_chunk_pcg(
     # Replaces the matrix-free expand/weight/reduce matvec on structured
     # meshes (~40× fewer FLOPs per iteration at 16³ elasticity) and is
     # the operator form the torus multigrid preconditioner coarsens.
+    # built for the matfree matvec, AND under densek when the MG prec
+    # needs the stencil form of the operator (the matvec stays Kc there)
     bstencil = eng._get_block_stencil() if (
         not scalar_sep
-        and not densek_chunk
+        and (not densek_chunk or mg_flag)
         and eng.solver == "pcg"
         and A_K is not None
     ) else None

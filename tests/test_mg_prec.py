@@ -241,3 +241,28 @@ def test_block_stencil_stratified_route_matches_matfree(monkeypatch):
     A_chol = np.asarray(e_chol.tensors_for_centers(A_el, centers, G_fn=G_fn))
     rel2 = np.max(np.abs(outs["auto"] - A_chol)) / np.max(np.abs(A_chol))
     assert rel2 < 1e-8, rel2
+
+
+def test_mg_with_densek_strategy():
+    """cell_prec='mg' composes with the dense-K chunk strategy too (the
+    matvec stays the batched Kc; only the preconditioner is the
+    V-cycle) — previously the stencil build was gated off under densek
+    and the route raised."""
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 100.0, 0.001)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+    centers = jnp.asarray(rng.uniform(0, 1, (3, 3)))
+    e_chol = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64
+    )
+    A_chol = e_chol.tensors_for_centers(A_el, centers)
+    e_dk = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float64,
+        solver="pcg", pcg_strategy="densek", cell_prec="mg",
+        pcg_tol=1e-11, pcg_maxiter=500,
+    )
+    A_dk, it = e_dk.tensors_chunk_pcg(
+        A_el, centers, with_iters=True, implicit_diff=False
+    )
+    rel = float(jnp.max(jnp.abs(A_dk - A_chol)) / jnp.max(jnp.abs(A_chol)))
+    assert rel < 1e-8, rel
+    assert int(it) <= 5  # 4³ coarsest == fine: exact prec
