@@ -1043,3 +1043,130 @@ def _mg_nu(eng) -> int:
     if getattr(eng, "mg_nu", 0):
         return int(eng.mg_nu)
     return 2 if eng.coeff_kind == "scalar" and eng.bs == 1 else 4
+
+def tensors_chol_batched(eng, coeff, centers, G_fn=None, chunk=0):
+    """Cross-chunk-batched elasticity direct route (round-5 verdict item
+    2b, opt-in via ``HOMMX_CHOL_SOLVE_BATCH=1``).
+
+    The chunk-Cholesky pipeline's phases want OPPOSITE chunk sizes: the
+    coefficient/assembly/contraction phases are memory-bound and prefer
+    moderate chunks (the measured 1080 optimum), while the factor+solve
+    phase is dispatch-latency bound and amortizes with the batch (its
+    ~1,000 sequential small ops cost the same at C=1080 as at C=8640).
+    This route splits the pipeline at the solve boundary:
+
+      1. lax.map over chunks: coefficient reduction, Kron Kc assembly,
+         diagonal equilibration → (Ks, Fs) per chunk;
+      2. ONE blocked factor+solve (+ refinement sweep) over the ENTIRE
+         cell batch;
+      3. lax.map over chunks: the bilinear A* contraction from
+         (Xs, Fs, Ks, Ā) — all scaled quantities (XᵀKX = XsᵀKsXs and
+         FᵀX = FsᵀXs exactly, so the unscaled operator is never needed).
+
+    Costs the resident equilibrated operator batch (nc·n² floats,
+    ~1.3 GB at the 8640-cell beam) instead of one chunk's.  Everything
+    is traced jnp (natively differentiable like the in-chunk route).
+    Plain-tensors only (no correctors/iters); callers fall back to the
+    standard route otherwise.
+    """
+    from hommx_tpu.micro.krylov import _map_chunked
+    from hommx_tpu.ops.batched_chol import (
+        _pad_spd,
+        blocked_cho_solve,
+        blocked_cholesky,
+    )
+
+    nc = centers.shape[0]
+    n = eng.n_reduced
+    s = eng.s
+    nE, r = eng.nE, eng.r
+    chunk = chunk or eng._auto_chunk(nc)
+
+    def assemble(cs):
+        C = cs.shape[0]
+        raw = jax.vmap(lambda x: eng._raw_coeff(coeff, x))(cs)
+        G = (
+            None
+            if G_fn is None
+            else jax.vmap(
+                lambda x: jnp.asarray(G_fn(x), dtype=eng.dtype)
+            )(cs)
+        )
+        T = (
+            jnp.broadcast_to(eng._eye_sym, (C, r, r))
+            if G is None
+            else jax.vmap(_sym_map)(G)
+        )
+        # Kron fast-path Kc assembly (same math as the in-chunk route)
+        TkT = jnp.einsum("cmr,ctn->cmtrn", T, T).reshape(C, r * r, r * r)
+        AKv = jnp.einsum(
+            "cex,cxy->cey", raw.reshape(C, nE, r * r), TkT
+        )
+        blocks_flat = jnp.einsum(
+            "cex,exy->cey", AKv, eng._get_kron_M()
+        ).reshape(C, -1)
+        rows = eng.loc2red[:, :, None]
+        cols = eng.loc2red[:, None, :]
+        flat = jnp.asarray((rows * n + cols).reshape(-1))
+        Kc = jnp.zeros((C, n * n), dtype=eng.dtype)
+        Kc = Kc.at[:, flat].add(blocks_flat)
+        keepn = jnp.logical_not(eng.pin_mask).astype(eng.dtype)
+        pinn = eng.pin_mask.astype(eng.dtype)
+        Kc = Kc.reshape(C, n, n) * keepn[None, :, None] * keepn[
+            None, None, :
+        ] + jnp.diag(pinn)[None]
+        # RHS F = -Σ_e D_eᵀ (Tᵀ Ā) E, cell-minor then moved batch-major
+        A_F = jnp.einsum("cmr,cemt->cert", T, raw)
+        AE = jnp.einsum("cert,ts->ersc", A_F, eng.E)
+        wl = jnp.einsum("erl,ersc->elsc", eng.Draw, AE)
+        F = (
+            jnp.zeros((n, s, C), dtype=eng.dtype)
+            .at[eng.loc2red.reshape(-1)]
+            .add(wl.reshape(-1, s, C))
+        )
+        F = -F * keepn[:, None, None]
+        F = jnp.moveaxis(F, -1, 0)  # (C, n, s)
+        # equilibration (same scale as _chol_chunk_solve)
+        dp = jnp.einsum("cnn->cn", Kc)
+        d0p = eng._get_K0diag()
+        bad = eng.pin_mask[None, :] | (dp <= 0) | ~jnp.isfinite(dp)
+        sc = jnp.where(
+            bad, 1.0, jnp.sqrt(d0p[None, :] / jnp.where(bad, 1.0, dp))
+        ).astype(eng.dtype)  # (C, n)
+        Ks = Kc * sc[:, :, None] * sc[:, None, :]
+        Fs = F * sc[:, :, None]
+        Abar = jnp.sum(raw, axis=1)  # (C, r, r)
+        return Ks, Fs, Abar
+
+    centers = jnp.asarray(centers, dtype=eng.dtype)
+    Ks, Fs, Abar = _map_chunked(assemble, centers, chunk, chunk_fn=True)
+
+    # one batched factor + solve + refinement over the whole cell batch
+    nb = 32
+    Ksp, Fsp, n_orig = _pad_spd(Ks, Fs, nb)
+    panels, dinvs = blocked_cholesky(Ksp, nb)
+
+    def solve(Bs):
+        n_pad = Ksp.shape[1] - n_orig
+        if n_pad:
+            Bs = jnp.concatenate(
+                [Bs, jnp.zeros((nc, n_pad, s), Bs.dtype)], axis=1
+            )
+        return blocked_cho_solve(panels, dinvs, Bs, nb)[:, :n_orig, :]
+
+    Xs = solve(Fs)
+    if _chol_refine(eng):
+        R = Fs - jnp.einsum("cnm,cms->cns", Ks, Xs)
+        Xs = Xs + solve(R)
+
+    # bilinear A*: EᵀĀE − FᵀX − XᵀF + XᵀKX, all in SCALED quantities
+    # (XᵀKX = XsᵀKsXs, FᵀX = FsᵀXs exactly); the contraction is small
+    # enough to run unchunked on the full batch
+    XtF = jnp.einsum("cns,cnt->cst", Xs, Fs)
+    KX = jnp.einsum("cnm,cms->cns", Ks, Xs)
+    XtKX = jnp.einsum("cns,cnt->cst", Xs, KX)
+    term1 = jnp.einsum("rs,crt,tm->csm", eng.E, Abar, eng.E)
+    Astar = (
+        term1 - XtF - jnp.swapaxes(XtF, 1, 2) + XtKX
+    ) / eng.volume_Y
+    return eng._expand_astar(Astar)

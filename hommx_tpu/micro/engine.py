@@ -691,6 +691,22 @@ class MicroEngine:
         # route here instead of falling back to the per-cell path, whose
         # dense-K₀ preconditioner cannot exist at that size
         if chol_route or (self.solver == "pcg" and use_chunk):
+            import os
+
+            if (
+                chol_route
+                and not with_correctors
+                and os.environ.get("HOMMX_CHOL_SOLVE_BATCH", "0") == "1"
+            ):
+                # round-5 opt-in: assemble per chunk, factor+solve the
+                # WHOLE batch once (the dispatch-latency-bound phase
+                # amortizes with C), contract per batch — see
+                # micro/chunk.py::tensors_chol_batched
+                from hommx_tpu.micro import chunk as _chunkmod
+
+                return _chunkmod.tensors_chol_batched(
+                    self, coeff, centers, G_fn, chunk
+                )
             return _map_chunked(
                 lambda cs: self.tensors_chunk_pcg(
                     coeff, cs, G_fn, with_correctors=with_correctors,

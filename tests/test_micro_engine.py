@@ -629,3 +629,33 @@ def test_solve_periodic_gradient_rhs_matches_corrector():
     un -= un.mean()
     Xf -= Xf.mean()
     assert np.max(np.abs(un - Xf)) < 1e-12
+
+
+def test_chol_solve_batched_route_matches(monkeypatch):
+    """HOMMX_CHOL_SOLVE_BATCH=1 (round-5 cross-chunk solve batching:
+    assemble per chunk, factor+solve the whole batch once) reproduces
+    the in-chunk direct route and its gradients."""
+    from hommx_tpu.utils.validation import hooke_tensor
+
+    rng2 = np.random.default_rng(0)
+    mu = lambda x, y: jnp.where(y[1] < 0.5, 100.0 * (1 + 0.001 * x[0]), 0.001)
+    A_el = hooke_tensor(3, mu, lambda x, y: 1.0)
+
+    def G_fn(x):
+        g = 0.5 * jnp.pi * x[1] / 0.4
+        c, s = jnp.cos(g), jnp.sin(g)
+        return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]).T
+
+    centers = jnp.asarray(rng2.uniform(0, 1, (10, 3)), jnp.float32)
+    eng = MicroEngine(
+        create_unit_cube(4), bs=3, coeff_kind="tensor4", dtype=jnp.float32
+    )
+    A_ref = np.asarray(
+        eng.tensors_for_centers(A_el, centers, G_fn=G_fn, chunk=4)
+    )
+    monkeypatch.setenv("HOMMX_CHOL_SOLVE_BATCH", "1")
+    A_b = np.asarray(
+        eng.tensors_for_centers(A_el, centers, G_fn=G_fn, chunk=4)
+    )
+    rel = np.max(np.abs(A_b - A_ref)) / np.max(np.abs(A_ref))
+    assert rel < 5e-5, rel
