@@ -697,6 +697,9 @@ class MicroEngine:
                 chol_route
                 and not with_correctors
                 and os.environ.get("HOMMX_CHOL_SOLVE_BATCH", "0") == "1"
+                # resident whole-batch operators + panels ≈ 2·nc·n²
+                # floats; decline past ~6 GB and take the in-chunk route
+                and 2 * nc * self.n_reduced**2 * 4 <= (6 << 30)
             ):
                 # round-5 opt-in: assemble per chunk, factor+solve the
                 # WHOLE batch once (the dispatch-latency-bound phase
